@@ -1,0 +1,95 @@
+"""Point cloud container with JAX statistical-outlier-removal filter.
+
+Replaces the reference's Open3D wrapper (core/point_cloud.py:36-187):
+numpy storage + self-contained PLY IO + an on-device SOR filter
+(k-NN mean distance thresholding) implemented with jnp — no open3d.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icepy4d_tpu.io.ply import read_ply, write_ply
+
+
+def _sor_mask(xyz: jax.Array, knn: int, std_ratio: float) -> jax.Array:
+    """Statistical outlier removal mask via brute-force kNN on device.
+
+    O(N^2) distances in blocks — fine for sparse SfM clouds (<100k pts);
+    batched matmul keeps it on the MXU.
+    """
+    n = xyz.shape[0]
+    sq = jnp.sum(xyz * xyz, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (xyz @ xyz.T)
+    d2 = jnp.maximum(d2, 0.0).at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
+    k = min(knn, n - 1)
+    neg_top, _ = jax.lax.top_k(-d2, k)
+    mean_d = jnp.mean(jnp.sqrt(jnp.maximum(-neg_top, 0.0)), axis=1)
+    mu = jnp.mean(mean_d)
+    sigma = jnp.std(mean_d)
+    return mean_d <= mu + std_ratio * sigma
+
+
+class PointCloud:
+    def __init__(
+        self,
+        points3d: np.ndarray | None = None,
+        pcd_path: str | Path | None = None,
+        points_col: np.ndarray | None = None,
+    ):
+        if pcd_path is not None:
+            xyz, rgb = read_ply(pcd_path)
+            self.points = xyz
+            self.colors = (
+                rgb.astype(np.float32) / 255.0 if rgb is not None else None
+            )
+        else:
+            self.points = (
+                np.asarray(points3d, np.float32).reshape(-1, 3)
+                if points3d is not None
+                else np.zeros((0, 3), np.float32)
+            )
+            if points_col is not None:
+                c = np.asarray(points_col, np.float32).reshape(-1, 3)
+                if c.max(initial=0.0) > 1.0:
+                    c = c / 255.0
+                self.colors = c
+            else:
+                self.colors = None
+
+    def __len__(self) -> int:
+        return self.points.shape[0]
+
+    def get_points(self) -> np.ndarray:
+        return self.points.copy()
+
+    def get_colors(self, as_uint8: bool = True) -> np.ndarray | None:
+        if self.colors is None:
+            return None
+        if as_uint8:
+            return (self.colors * 255.0).astype(np.uint8)
+        return self.colors.copy()
+
+    def sor_filter(self, nb_neighbors: int = 10, std_ratio: float = 3.0):
+        """Statistical outlier removal (ref core/point_cloud.py:136-161)."""
+        if len(self) <= nb_neighbors:
+            return self
+        mask = np.asarray(
+            jax.jit(_sor_mask, static_argnums=(1,))(
+                jnp.asarray(self.points), int(nb_neighbors), float(std_ratio)
+            )
+        )
+        self.points = self.points[mask]
+        if self.colors is not None:
+            self.colors = self.colors[mask]
+        return self
+
+    def write_ply(self, path) -> None:
+        write_ply(path, self.points, self.colors)
+
+    # Reference name (core/point_cloud.py) — alias.
+    save = write_ply
