@@ -1,0 +1,190 @@
+"""Absolute orientation (georeferencing) + space resection
+(ref sfm/absolute_orientation.py:18-287).
+
+AbsoluteOrientation estimates the 7-parameter Helmert similarity mapping
+the photogrammetric model onto surveyed world coordinates: linear
+Umeyama/Procrustes estimate (replacing Gohlke affine_matrix_from_points,
+ref thirdparty/transformations.py:908) with an optional on-device
+Gauss-Newton refinement (replacing lmfit LM, ref :181-242).
+SpaceResection recovers one camera's pose from GCPs via hypothesis-
+parallel PnP RANSAC (replacing cv2.solvePnPRansac, ref :18-50).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icepy4d_tpu.core.camera import Camera
+from icepy4d_tpu.ops import ransac as ransac_ops
+from icepy4d_tpu.ops import transforms as tf
+
+logger = logging.getLogger("icepy4d_tpu")
+
+
+class SpaceResection:
+    """Single-camera pose from 3D-2D correspondences (ref :18-50)."""
+
+    def __init__(self, camera: Camera) -> None:
+        self.camera = camera
+
+    def estimate(
+        self,
+        image_points: np.ndarray,
+        object_points: np.ndarray,
+        reprojection_error: float = 3.0,
+        seed: int = 0,
+    ) -> Camera:
+        pts2d = jnp.asarray(image_points, jnp.float32).reshape(-1, 2)
+        pts3d = jnp.asarray(object_points, jnp.float32).reshape(-1, 3)
+        # PnP expects undistorted observations; remove lens distortion first.
+        pts2d = jnp.asarray(
+            self.camera.undistort_points(np.asarray(pts2d)), jnp.float32
+        )
+        mask = jnp.ones((pts2d.shape[0],), bool)
+        R, t, inliers = ransac_ops.ransac_pnp(
+            jax.random.PRNGKey(seed),
+            pts3d,
+            pts2d,
+            self.camera.K,
+            mask,
+            threshold_px=float(reprojection_error),
+        )
+        n_inl = int(np.asarray(inliers).sum())
+        if n_inl < 4:
+            logger.warning("Space resection failed: %d inliers", n_inl)
+            return self.camera
+        logger.info(
+            "Space resection succeeded. Inliers: %d/%d", n_inl, pts2d.shape[0]
+        )
+        self.camera = self.camera.update_extrinsics(
+            Camera.Rt_to_extrinsics(R, t)
+        )
+        return self.camera
+
+
+class AbsoluteOrientation:
+    def __init__(
+        self,
+        cameras: tuple[Camera, ...],
+        points3d_final: np.ndarray,
+        points3d_orig: np.ndarray | None = None,
+        image_points: tuple[np.ndarray, ...] | None = None,
+        camera_centers_world: tuple[np.ndarray, ...] | None = None,
+    ) -> None:
+        """v0 = model coords (triangulated), v1 = world coords; optionally
+        append the camera centres as extra correspondences (ref :120-129)."""
+        self.cameras = list(cameras)
+        if points3d_final is None or points3d_final.shape[1] != 3:
+            raise ValueError("points3d_final must be (n, 3) world coordinates")
+        self.v1 = np.asarray(points3d_final, np.float64)
+        if points3d_orig is not None:
+            self.v0 = np.asarray(points3d_orig, np.float64)
+        elif image_points is not None:
+            self.v0 = self.triangulate_image_points(image_points)
+        else:
+            raise ValueError("provide points3d_orig or image_points")
+        self.tform: np.ndarray | None = None
+        if camera_centers_world is not None:
+            self.add_camera_centers_to_points(camera_centers_world)
+
+    def add_camera_centers_to_points(self, camera_centers_world) -> None:
+        """Append each camera's model-frame centre to v0 and its surveyed
+        world coordinates to v1 (ref :108-140)."""
+        centers_model = [
+            np.asarray(cam.C, np.float64).reshape(1, 3) for cam in self.cameras
+        ]
+        self.v0 = np.concatenate([self.v0, *centers_model])
+        self.v1 = np.concatenate(
+            [self.v1]
+            + [np.asarray(c, np.float64).reshape(1, 3) for c in camera_centers_world]
+        )
+
+    def triangulate_image_points(self, image_points) -> np.ndarray:
+        from icepy4d_tpu.sfm.triangulation import Triangulate
+
+        t = Triangulate(self.cameras, list(image_points))
+        return np.asarray(t.triangulate_two_views(), np.float64)
+
+    def estimate_transformation_linear(
+        self, estimate_scale: bool = True
+    ) -> np.ndarray:
+        """Umeyama SVD similarity v1 ≈ T v0 (ref :141-152)."""
+        T = tf.similarity_from_points(
+            jnp.asarray(self.v0, jnp.float32),
+            jnp.asarray(self.v1, jnp.float32),
+            with_scale=estimate_scale,
+        )
+        self.tform = np.asarray(T, np.float64)
+        return self.tform
+
+    def estimate_transformation_least_squares(
+        self, uncertainty: np.ndarray | None = None
+    ) -> np.ndarray:
+        """GN refinement of the 7 Helmert params, weighted by 1/uncertainty
+        (replaces the reference's lmfit minimize, ref :181-242)."""
+        if self.tform is None:
+            self.estimate_transformation_linear()
+        weights = None
+        if uncertainty is not None:
+            weights = jnp.asarray(1.0 / np.asarray(uncertainty), jnp.float32)
+        T = tf.refine_similarity_gauss_newton(
+            jnp.asarray(self.tform, jnp.float32),
+            jnp.asarray(self.v0, jnp.float32),
+            jnp.asarray(self.v1, jnp.float32),
+            weights=weights,
+        )
+        self.tform = np.asarray(T, np.float64)
+        return self.tform
+
+    def extract_params_from_T(self, T: np.ndarray | None = None) -> dict:
+        """T -> dict(rx, ry, rz, tx, ty, tz, m) (ref :155-180)."""
+        if T is None:
+            T = self.tform
+        M = np.asarray(T[:3, :3], np.float64)
+        m = float(np.cbrt(np.linalg.det(M)))
+        ax, ay, az = (float(a) for a in tf.euler_from_matrix(
+            jnp.asarray(M / m, jnp.float32)))
+        return {
+            "rx": ax, "ry": ay, "rz": az,
+            "tx": float(T[0, 3]), "ty": float(T[1, 3]), "tz": float(T[2, 3]),
+            "m": m,
+        }
+
+    def apply_transformation(
+        self,
+        T: np.ndarray | None = None,
+        points3d: np.ndarray | None = None,
+        camera: Camera | None = None,
+    ) -> np.ndarray:
+        """Transform points and re-base all camera poses (ref :244-287)."""
+        if T is None:
+            T = self.tform
+        if points3d is None:
+            points3d = self.v1
+        pts = np.asarray(
+            tf.apply_transform(jnp.asarray(T, jnp.float32),
+                               jnp.asarray(points3d, jnp.float32))
+        )
+        self.v1 = pts
+
+        def rebase(cam: Camera) -> Camera:
+            pose = np.asarray(T, np.float64) @ np.asarray(cam.pose, np.float64)
+            # Remove the scale from the rotation block so extrinsics stay rigid.
+            s = np.cbrt(np.linalg.det(pose[:3, :3]))
+            pose[:3, :3] = pose[:3, :3] / s
+            return cam.update_extrinsics(Camera.pose_to_extrinsics(pose))
+
+        if camera is None:
+            self.cameras = [rebase(c) for c in self.cameras]
+        else:
+            return rebase(camera)
+        return self.v1
+
+
+# Reference-spelling aliases (ref sfm/__init__.py:2-4).
+Absolute_orientation = AbsoluteOrientation
+Space_resection = SpaceResection

@@ -1,0 +1,102 @@
+"""Two-view / n-view triangulation driver (ref sfm/triangulation.py:42-183).
+
+Same contract as the reference's Triangulate class, but the per-point
+Python loop over Hartley–Sturm iterations (the hot loop flagged in
+SURVEY §3.1) becomes one vmapped kernel; color interpolation is a
+batched bilinear gather.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from icepy4d_tpu.core.camera import Camera
+from icepy4d_tpu.ops import geometry as geom
+from icepy4d_tpu.ops import triangulation as tri
+
+logger = logging.getLogger("icepy4d_tpu")
+
+
+class Triangulate:
+    def __init__(
+        self,
+        cameras: list[Camera] | None = None,
+        image_points: list[np.ndarray] | None = None,
+    ) -> None:
+        self.cameras = cameras
+        self.image_points = image_points
+        self.points3d: np.ndarray | None = None
+        self.colors: np.ndarray | None = None
+
+    def triangulate_two_views(
+        self,
+        views_ids: list[int] = [0, 1],
+        approach: str = "iterative_LS_triangulation",
+        compute_colors: bool = False,
+        image: np.ndarray | None = None,
+        cam_id: int = 0,
+    ) -> np.ndarray:
+        """Undistort both observation sets, triangulate, optional colors.
+
+        Matches ref triangulation.py:63-120 (undistort with P=K, then
+        iterative LS on P = K[R|t]).
+        """
+        cam0 = self.cameras[views_ids[0]]
+        cam1 = self.cameras[views_ids[1]]
+        pts0 = jnp.asarray(self.image_points[views_ids[0]], jnp.float32)
+        pts1 = jnp.asarray(self.image_points[views_ids[1]], jnp.float32)
+        pts0u = geom.undistort_points(pts0, cam0.K, cam0.dist)
+        pts1u = geom.undistort_points(pts1, cam1.K, cam1.dist)
+
+        if approach == "iterative_LS_triangulation":
+            pts3d, status = tri.iterative_ls_triangulation(
+                pts0u, pts1u, cam0.P, cam1.P
+            )
+            logger.info(
+                "Point triangulation succeeded: %.3f",
+                float(jnp.mean(status.astype(jnp.float32))),
+            )
+        elif approach == "linear_triangulation":
+            pts3d = tri.linear_eigen_triangulation(pts0u, pts1u, cam0.P, cam1.P)
+        else:
+            raise ValueError(f"Unknown triangulation approach {approach!r}")
+
+        self.points3d = np.asarray(pts3d)
+        if compute_colors:
+            assert image is not None, "image required for color interpolation"
+            self.interpolate_colors_from_image(image, self.cameras[cam_id])
+        return self.points3d
+
+    def triangulate_nviews(self) -> np.ndarray:
+        """N-view DLT over all cameras (ref triangulation.py:122-137)."""
+        Ps = jnp.stack([cam.P for cam in self.cameras])
+        us = jnp.stack(
+            [jnp.asarray(p, jnp.float32)[..., :2] for p in self.image_points]
+        )
+        self.points3d = np.asarray(tri.triangulate_nview(us, Ps))
+        return self.points3d
+
+    def interpolate_colors_from_image(
+        self, image: np.ndarray, camera: Camera, convert_BRG2RGB: bool = True
+    ) -> np.ndarray:
+        """Project points into `image` and bilinearly sample colors in [0, 1]
+        (ref sfm/interpolate_colors.py:54-88)."""
+        assert self.points3d is not None, "triangulate first"
+        img = np.asarray(image)
+        if convert_BRG2RGB and img.ndim == 3 and img.shape[2] == 3:
+            img = img[..., ::-1]
+        uv = geom.project_points(
+            jnp.asarray(self.points3d, jnp.float32),
+            camera.K,
+            camera.extrinsics,
+            camera.dist,
+        )
+        cols = tri.interpolate_bilinear(
+            jnp.asarray(img, jnp.float32) / 255.0, uv
+        )
+        self.colors = np.asarray(jnp.clip(cols, 0.0, 1.0))
+        logger.info("Point colors interpolated")
+        return self.colors
