@@ -1,0 +1,201 @@
+"""Torch checkpoint -> JAX param-pytree converters.
+
+The official pretrained checkpoints (superpoint_v1.pth, superglue_*.pth,
+superpoint_lightglue.pth — ref thirdparty/SuperGlue/models/weights,
+thirdparty/LightGlue/lightglue/lightglue.py:378) are torch state dicts.
+These converters map them onto our flax/functional param layouts so the
+TPU models are drop-in numerically identical. torch is imported lazily
+and only needed at conversion time, never at inference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv(sd: dict, name: str) -> dict:
+    """torch Conv2d (O,I,kh,kw)/(O,) -> flax {'kernel': (kh,kw,I,O), 'bias'}."""
+    return {
+        "kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
+        "bias": _np(sd[f"{name}.bias"]),
+    }
+
+
+def _linear(sd: dict, name: str) -> dict:
+    """torch Linear (O,I)/(O,) -> flax {'kernel': (I,O), 'bias'}."""
+    out = {"kernel": _np(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def _conv1d_as_linear(sd: dict, name: str) -> dict:
+    """torch Conv1d k=1 (O,I,1) -> flax Dense {'kernel': (I,O), 'bias'}."""
+    out = {"kernel": _np(sd[f"{name}.weight"])[..., 0].T}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def superpoint_params_from_torch(state_dict: dict) -> dict:
+    """Map the SuperGlue-repo SuperPoint state dict (conv1a..convDb,
+    ref thirdparty/SuperGlue/models/superpoint.py:104-130) onto
+    models.superpoint.SuperPointNet params."""
+    sd = {k: v for k, v in state_dict.items()}
+    names = ["conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+             "conv4a", "conv4b", "convPa", "convPb", "convDa", "convDb"]
+    return {"params": {n: _conv(sd, n) for n in names}}
+
+
+def load_torch_superpoint(path) -> dict:
+    import torch
+
+    return superpoint_params_from_torch(torch.load(path, map_location="cpu"))
+
+
+# --------------------------------------------------------------------------
+# LightGlue (ref thirdparty/LightGlue/lightglue/lightglue.py)
+# --------------------------------------------------------------------------
+
+def lightglue_params_from_torch(state_dict: dict, n_layers: int = 9) -> dict:
+    """Map the LightGlue state dict onto models.lightglue param layout.
+
+    torch names (lightglue.py:309-420):
+      input_proj.{weight,bias}                      Linear D_in->256
+      posenc.Wr.weight                              Fourier posenc (no bias)
+      transformers.{i}.self_attn.Wqkv / out_proj / ffn.{0,3}
+      transformers.{i}.cross_attn.to_qk / to_v / to_out / ffn.{0,3}
+      log_assignment.{i}.matchability / final_proj
+      token_confidence.{i}.token.0
+    ffn layers interleave Linear+LayerNorm: ffn.0 Linear, ffn.1 LayerNorm,
+    ffn.3 Linear.
+    """
+    sd = state_dict
+    params: dict = {
+        "input_proj": _linear(sd, "input_proj"),
+        "posenc": {"Wr": {"kernel": _np(sd["posenc.Wr.weight"]).T}},
+        "layers": [],
+        "assign": [],
+        "confidence": [],
+    }
+
+    def _ln(name):
+        return {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+    def _ffn(prefix):
+        return {
+            "dense1": _linear(sd, f"{prefix}.0"),
+            "norm": _ln(f"{prefix}.1"),
+            "dense2": _linear(sd, f"{prefix}.3"),
+        }
+
+    for i in range(n_layers):
+        s = f"transformers.{i}.self_attn"
+        c = f"transformers.{i}.cross_attn"
+        params["layers"].append({
+            "self_attn": {
+                "Wqkv": _linear(sd, f"{s}.Wqkv"),
+                "out": _linear(sd, f"{s}.out_proj"),
+                "ffn": _ffn(f"{s}.ffn"),
+            },
+            "cross_attn": {
+                "to_qk": _linear(sd, f"{c}.to_qk"),
+                "to_v": _linear(sd, f"{c}.to_v"),
+                "out": _linear(sd, f"{c}.to_out"),
+                "ffn": _ffn(f"{c}.ffn"),
+            },
+        })
+        params["assign"].append({
+            "matchability": _linear(sd, f"log_assignment.{i}.matchability"),
+            "final_proj": _linear(sd, f"log_assignment.{i}.final_proj"),
+        })
+        if i < n_layers - 1:
+            params["confidence"].append(
+                {"token": _linear(sd, f"token_confidence.{i}.token.0")}
+            )
+    return params
+
+
+def load_torch_lightglue(path, n_layers: int = 9) -> dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return lightglue_params_from_torch(sd, n_layers)
+
+
+# --------------------------------------------------------------------------
+# SuperGlue (ref thirdparty/SuperGlue/models/superglue.py)
+# --------------------------------------------------------------------------
+
+def superglue_params_from_torch(state_dict: dict, n_layers: int = 18) -> dict:
+    """Map the SuperGlue state dict onto models.superglue param layout.
+
+    torch names (superglue.py:74-305, all Conv1d k=1 treated as Dense):
+      kenc.encoder.{0,2,4,...}   keypoint-encoder MLP convs (+BN pairs)
+      gnn.layers.{i}.attn.proj.{0,1,2}  q/k/v projections
+      gnn.layers.{i}.attn.merge         head-merge conv
+      gnn.layers.{i}.mlp.{0,2}          message MLP (+BN at 1... )
+      final_proj                         1x1 conv
+      bin_score                          scalar dustbin
+    """
+    sd = state_dict
+
+    def _bn(name):
+        return {
+            "scale": _np(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"]),
+            "mean": _np(sd[f"{name}.running_mean"]),
+            "var": _np(sd[f"{name}.running_var"]),
+        }
+
+    # keypoint encoder: MLP([3]+[32,64,128,256]+[256]) — Conv1d+BN+ReLU
+    # stack; torch indices 0,1 (conv,bn), 3,4, 6,7, 9 (last conv no bn/relu)
+    kenc_layers = []
+    i = 0
+    while f"kenc.encoder.{i}.weight" in sd:
+        layer = {"dense": _conv1d_as_linear(sd, f"kenc.encoder.{i}")}
+        if f"kenc.encoder.{i + 1}.running_mean" in sd:
+            layer["bn"] = _bn(f"kenc.encoder.{i + 1}")
+            i += 3
+        else:
+            i += 2
+        kenc_layers.append(layer)
+
+    layers = []
+    for li in range(n_layers):
+        g = f"gnn.layers.{li}"
+        mlp_layers = []
+        j = 0
+        while f"{g}.mlp.{j}.weight" in sd:
+            layer = {"dense": _conv1d_as_linear(sd, f"{g}.mlp.{j}")}
+            if f"{g}.mlp.{j + 1}.running_mean" in sd:
+                layer["bn"] = _bn(f"{g}.mlp.{j + 1}")
+                j += 3
+            else:
+                j += 2
+            mlp_layers.append(layer)
+        layers.append({
+            "q": _conv1d_as_linear(sd, f"{g}.attn.proj.0"),
+            "k": _conv1d_as_linear(sd, f"{g}.attn.proj.1"),
+            "v": _conv1d_as_linear(sd, f"{g}.attn.proj.2"),
+            "merge": _conv1d_as_linear(sd, f"{g}.attn.merge"),
+            "mlp": mlp_layers,
+        })
+
+    return {
+        "kenc": kenc_layers,
+        "gnn": layers,
+        "final_proj": _conv1d_as_linear(sd, "final_proj"),
+        "bin_score": float(_np(sd["bin_score"])),
+    }
+
+
+def load_torch_superglue(path, n_layers: int = 18) -> dict:
+    import torch
+
+    return superglue_params_from_torch(torch.load(path, map_location="cpu"),
+                                       n_layers)

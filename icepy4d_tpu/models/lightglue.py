@@ -1,0 +1,315 @@
+"""LightGlue matcher, TPU-native.
+
+Re-design of the vendored torch LightGlue
+(ref thirdparty/LightGlue/lightglue/lightglue.py:309-585):
+
+  learnable Fourier rotary positional encoding        (lightglue.py:60-75)
+  n_layers x (rotary self-attention + bidirectional
+              cross-attention, each with concat-FFN)  (lightglue.py:133-251)
+  sigmoid-log-double-softmax match assignment         (lightglue.py:253-288)
+  mutual-max + threshold match extraction             (lightglue.py:290-306)
+
+TPU-first differences:
+  * static shapes: inputs are padded keypoint sets with validity masks
+    (the reference pads only under torch.compile, lightglue.py:458-466);
+    attention and assignment are mask-aware, outputs carry masks.
+  * static depth: all layers run every time. The reference's adaptive
+    early-exit/pruning (lightglue.py:491-510) is a data-dependent latency
+    optimization that defeats XLA compilation; on TPU the batched static
+    forward is faster than dynamic-shape gathers. The per-layer
+    token-confidence heads are still implemented (checkpoint-compatible,
+    exposed for diagnostics/masked-pruning experiments).
+  * batch-first everywhere; attention einsums hit the MXU in one fused
+    program over (B=tile-pairs, H=4, N, 64).
+
+Param layout matches models.convert.lightglue_params_from_torch, so the
+official `superpoint_lightglue.pth` drops in.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def normalize_keypoints(kpts: Array, size) -> Array:
+    """Map pixel kpts into [-1, 1] by image size (lightglue.py:24-35).
+
+    kpts (..., N, 2); size (..., 2) as (w, h) or None to use kpt extent.
+    """
+    if size is None:
+        size = 1.0 + jnp.max(kpts, -2) - jnp.min(kpts, -2)
+    else:
+        size = jnp.asarray(size, kpts.dtype)
+    shift = size / 2.0
+    scale = jnp.max(size, -1) / 2.0
+    return (kpts - shift[..., None, :]) / scale[..., None, None]
+
+
+def _linear(p: dict, x: Array) -> Array:
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _layer_norm(p: dict, x: Array, eps: float = 1e-5) -> Array:
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _ffn(p: dict, x: Array, message: Array) -> Array:
+    """x + FFN([x | message]) (lightglue.py:144-149, GELU is exact erf)."""
+    h = _linear(p["dense1"], jnp.concatenate([x, message], -1))
+    h = _layer_norm(p["norm"], h)
+    h = jax.nn.gelu(h, approximate=False)
+    return x + _linear(p["dense2"], h)
+
+
+def rotary_encoding(p: dict, kpts: Array) -> tuple[Array, Array]:
+    """Learnable Fourier features -> (cos, sin) each (..., N, head_dim)."""
+    proj = kpts @ p["Wr"]["kernel"]  # (..., N, head_dim/2)
+    cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)
+    sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)
+    return cos, sin
+
+
+def _rotate_half(x: Array) -> Array:
+    x1 = x[..., ::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], -1).reshape(x.shape)
+
+
+def _apply_rotary(t: Array, cos: Array, sin: Array) -> Array:
+    """t (B,H,N,hd); cos/sin (B,N,hd) broadcast over heads."""
+    return t * cos[:, None] + _rotate_half(t) * sin[:, None]
+
+
+def _sdpa(q: Array, k: Array, v: Array, kmask: Array) -> Array:
+    """Masked scaled-dot-product attention.
+
+    q,k,v (B,H,N,hd); kmask (B,Nk) key validity. Uses the fused Pallas
+    flash kernel on TPU when shapes allow, else one XLA einsum program.
+    """
+    from icepy4d_tpu.ops.attention import masked_attention
+
+    return masked_attention(q, k, v, kmask)
+
+
+def self_block(p: dict, x: Array, enc: tuple, mask: Array, num_heads: int) -> Array:
+    b, n, d = x.shape
+    hd = d // num_heads
+    qkv = _linear(p["Wqkv"], x)  # (B, N, 3D)
+    # torch layout: unflatten(-1, (H, hd, 3)) (lightglue.py:155)
+    qkv = qkv.reshape(b, n, num_heads, hd, 3).transpose(0, 2, 1, 3, 4)
+    q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+    cos, sin = enc
+    q = _apply_rotary(q, cos, sin)
+    k = _apply_rotary(k, cos, sin)
+    ctx = _sdpa(q, k, v, mask)
+    message = _linear(p["out"], ctx.transpose(0, 2, 1, 3).reshape(b, n, d))
+    return _ffn(p["ffn"], x, message)
+
+
+def cross_block(
+    p: dict, x0: Array, x1: Array, mask0: Array, mask1: Array, num_heads: int
+) -> tuple[Array, Array]:
+    b, n0, d = x0.shape
+    n1 = x1.shape[1]
+    hd = d // num_heads
+
+    def heads(t):
+        return t.reshape(b, -1, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qk0 = heads(_linear(p["to_qk"], x0))
+    qk1 = heads(_linear(p["to_qk"], x1))
+    v0 = heads(_linear(p["to_v"], x0))
+    v1 = heads(_linear(p["to_v"], x1))
+    m0 = _sdpa(qk0, qk1, v1, mask1)
+    m1 = _sdpa(qk1, qk0, v0, mask0)
+    m0 = _linear(p["out"], m0.transpose(0, 2, 1, 3).reshape(b, n0, d))
+    m1 = _linear(p["out"], m1.transpose(0, 2, 1, 3).reshape(b, n1, d))
+    return _ffn(p["ffn"], x0, m0), _ffn(p["ffn"], x1, m1)
+
+
+def sigmoid_log_double_softmax(
+    sim: Array, z0: Array, z1: Array, mask0: Array, mask1: Array
+) -> Array:
+    """Log assignment matrix (B, M+1, N+1) (lightglue.py:253-265),
+    mask-aware: invalid rows/cols get NEG_INF in the match block."""
+    b, m, n = sim.shape
+    pair_valid = mask0[:, :, None] & mask1[:, None, :]
+    sim = jnp.where(pair_valid, sim, NEG_INF)
+    certainties = jax.nn.log_sigmoid(z0)[:, :, None] + \
+        jax.nn.log_sigmoid(z1)[:, None, :]
+    scores0 = jax.nn.log_softmax(sim, axis=2)
+    scores1 = jax.nn.log_softmax(sim, axis=1)
+    block = jnp.where(pair_valid, scores0 + scores1 + certainties, NEG_INF)
+    scores = jnp.zeros((b, m + 1, n + 1), sim.dtype)
+    scores = scores.at[:, :m, :n].set(block)
+    scores = scores.at[:, :m, n].set(
+        jnp.where(mask0, jax.nn.log_sigmoid(-z0), NEG_INF))
+    scores = scores.at[:, m, :n].set(
+        jnp.where(mask1, jax.nn.log_sigmoid(-z1), NEG_INF))
+    return scores
+
+
+def match_assignment(
+    p: dict, d0: Array, d1: Array, mask0: Array, mask1: Array
+) -> Array:
+    md0 = _linear(p["final_proj"], d0)
+    md1 = _linear(p["final_proj"], d1)
+    dd = md0.shape[-1]
+    md0 = md0 / dd ** 0.25
+    md1 = md1 / dd ** 0.25
+    sim = jnp.einsum("bmd,bnd->bmn", md0, md1,
+                     preferred_element_type=jnp.float32)
+    z0 = _linear(p["matchability"], d0)[..., 0]
+    z1 = _linear(p["matchability"], d1)[..., 0]
+    return sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
+
+
+def matchability(p: dict, d: Array) -> Array:
+    return jax.nn.sigmoid(_linear(p["matchability"], d)[..., 0])
+
+
+def token_confidence(p: dict, d: Array) -> Array:
+    return jax.nn.sigmoid(_linear(p["token"], d)[..., 0])
+
+
+def filter_matches(scores: Array, th: float) -> tuple[Array, Array, Array, Array]:
+    """Mutual-max match extraction from log assignment (lightglue.py:290-306).
+
+    Returns (matches0 (B,M) int32 [-1 = unmatched], matches1 (B,N),
+    mscores0 (B,M), mscores1 (B,N)). Fully static shapes.
+    """
+    block = scores[:, :-1, :-1]
+    b, m, n = block.shape
+    m0 = jnp.argmax(block, axis=2)
+    m1 = jnp.argmax(block, axis=1)
+    max0 = jnp.max(block, axis=2)
+    inds0 = jnp.arange(m)[None]
+    inds1 = jnp.arange(n)[None]
+    mutual0 = inds0 == jnp.take_along_axis(m1, m0, 1)
+    mutual1 = inds1 == jnp.take_along_axis(m0, m1, 1)
+    mscores0 = jnp.where(mutual0, jnp.exp(max0), 0.0)
+    mscores1 = jnp.where(mutual1, jnp.take_along_axis(mscores0, m1, 1), 0.0)
+    valid0 = mutual0 & (mscores0 > th)
+    valid1 = mutual1 & jnp.take_along_axis(valid0, m1, 1)
+    matches0 = jnp.where(valid0, m0, -1).astype(jnp.int32)
+    matches1 = jnp.where(valid1, m1, -1).astype(jnp.int32)
+    return matches0, matches1, mscores0, mscores1
+
+
+class LightGlue:
+    """Static-shape batched LightGlue.
+
+    match(params, data) where data = dict(
+      kpts0 (B,M,2), desc0 (B,M,D), mask0 (B,M), size0 (B,2) or None,
+      kpts1, desc1, mask1, size1)
+    -> dict(matches0 (B,M) int32, matches1, mscores0, mscores1,
+            log_assignment (B,M+1,N+1)).
+    """
+
+    def __init__(
+        self,
+        n_layers: int = 9,
+        num_heads: int = 4,
+        descriptor_dim: int = 256,
+        input_dim: int = 256,
+        filter_threshold: float = 0.1,
+    ):
+        self.n_layers = n_layers
+        self.num_heads = num_heads
+        self.descriptor_dim = descriptor_dim
+        self.input_dim = input_dim
+        self.filter_threshold = float(filter_threshold)
+
+    # -- initialization ----------------------------------------------------
+    def init(self, rng) -> dict:
+        d = self.descriptor_dim
+        hd = d // self.num_heads
+        keys = iter(jax.random.split(rng, 200))
+
+        def lin(din, dout, bias=True):
+            p = {"kernel": jax.random.normal(next(keys), (din, dout)) /
+                 np.sqrt(din)}
+            if bias:
+                p["bias"] = jnp.zeros((dout,))
+            return p
+
+        def ffn():
+            return {
+                "dense1": lin(2 * d, 2 * d),
+                "norm": {"scale": jnp.ones((2 * d,)), "bias": jnp.zeros((2 * d,))},
+                "dense2": lin(2 * d, d),
+            }
+
+        params = {
+            "input_proj": lin(self.input_dim, d),
+            "posenc": {"Wr": {"kernel":
+                              jax.random.normal(next(keys), (2, hd // 2))}},
+            "layers": [], "assign": [], "confidence": [],
+        }
+        for i in range(self.n_layers):
+            params["layers"].append({
+                "self_attn": {"Wqkv": lin(d, 3 * d), "out": lin(d, d),
+                              "ffn": ffn()},
+                "cross_attn": {"to_qk": lin(d, d), "to_v": lin(d, d),
+                               "out": lin(d, d), "ffn": ffn()},
+            })
+            params["assign"].append({
+                "matchability": lin(d, 1), "final_proj": lin(d, d)})
+            if i < self.n_layers - 1:
+                params["confidence"].append({"token": lin(d, 1)})
+        return params
+
+    # -- forward -----------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def match(self, params: dict, data: dict) -> dict:
+        kpts0 = normalize_keypoints(data["kpts0"], data.get("size0"))
+        kpts1 = normalize_keypoints(data["kpts1"], data.get("size1"))
+        mask0 = data["mask0"]
+        mask1 = data["mask1"]
+
+        d0 = _linear(params["input_proj"], data["desc0"].astype(jnp.float32)) \
+            if "kernel" in params["input_proj"] else data["desc0"]
+        d1 = _linear(params["input_proj"], data["desc1"].astype(jnp.float32)) \
+            if "kernel" in params["input_proj"] else data["desc1"]
+
+        enc0 = rotary_encoding(params["posenc"], kpts0)
+        enc1 = rotary_encoding(params["posenc"], kpts1)
+
+        for layer in params["layers"]:
+            d0 = self_block(layer["self_attn"], d0, enc0, mask0, self.num_heads)
+            d1 = self_block(layer["self_attn"], d1, enc1, mask1, self.num_heads)
+            d0, d1 = cross_block(layer["cross_attn"], d0, d1, mask0, mask1,
+                                 self.num_heads)
+
+        scores = match_assignment(params["assign"][-1], d0, d1, mask0, mask1)
+        matches0, matches1, ms0, ms1 = filter_matches(
+            scores, self.filter_threshold)
+        matches0 = jnp.where(mask0, matches0, -1)
+        matches1 = jnp.where(mask1, matches1, -1)
+        return {
+            "matches0": matches0,
+            "matches1": matches1,
+            "mscores0": jnp.where(mask0, ms0, 0.0),
+            "mscores1": jnp.where(mask1, ms1, 0.0),
+            "log_assignment": scores,
+        }
+
+
+def lightglue_init(rng=None, **kwargs) -> tuple[LightGlue, dict]:
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    model = LightGlue(**kwargs)
+    return model, model.init(rng)

@@ -1,0 +1,195 @@
+"""SuperPoint detector/descriptor, TPU-native.
+
+Re-design of the vendored torch SuperPoint
+(ref thirdparty/SuperGlue/models/superpoint.py:100-219 and
+thirdparty/LightGlue/lightglue/superpoint.py:90-231):
+
+  VGG encoder 4x(conv3x3,conv3x3,pool) 64/64/128/128 ch
+  detector head convPa/convPb -> 65ch softmax -> 8x8 pixel shuffle
+  simple_nms (radius 4) -> threshold 0.005 -> border removal -> top-K
+  descriptor head convDa/convDb -> 256-d, bilinear sample at kpts, L2 norm
+
+TPU-first differences from the reference:
+  * NHWC layout, bfloat16-friendly convs, batched over tiles/pairs —
+    a whole tile grid is ONE forward on the MXU instead of the
+    reference's per-tile python loop (ref matching/matchers.py:367).
+  * static shapes end-to-end: always returns exactly `max_keypoints`
+    rows per image with a validity mask (score>threshold and not
+    suppressed); downstream kernels consume the mask.
+  * NMS via reduce_window max-pooling (identical semantics to torch
+    simple_nms with 2 refinement iterations).
+
+Parameter layout is checkpoint-compatible: `convert.load_torch_superpoint`
+maps the official `superpoint_v1.pth` onto these params.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class SuperPointNet(nn.Module):
+    """The raw CNN: gray (B,H,W,1) -> (scores (B,H,W), dense_desc (B,H/8,W/8,256)).
+
+    H and W must be multiples of 8.
+    """
+
+    channels: tuple = (64, 64, 128, 128)
+    descriptor_dim: int = 256
+    nms_radius: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> tuple[Array, Array]:
+        conv = partial(nn.Conv, kernel_size=(3, 3), padding=1, dtype=self.dtype)
+        c1, c2, c3, c4 = self.channels
+        x = x.astype(self.dtype)
+        x = nn.relu(conv(c1, name="conv1a")(x))
+        x = nn.relu(conv(c1, name="conv1b")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(conv(c2, name="conv2a")(x))
+        x = nn.relu(conv(c2, name="conv2b")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(conv(c3, name="conv3a")(x))
+        x = nn.relu(conv(c3, name="conv3b")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(conv(c4, name="conv4a")(x))
+        x = nn.relu(conv(c4, name="conv4b")(x))
+
+        # detector head: 65 = 8*8 cells + dustbin
+        cpa = nn.relu(conv(256, name="convPa")(x))
+        logits = nn.Conv(65, (1, 1), dtype=self.dtype, name="convPb")(cpa)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :64]
+        b, hc, wc, _ = probs.shape
+        # pixel shuffle 8x8: cell channels -> pixels
+        heat = probs.reshape(b, hc, wc, 8, 8)
+        heat = heat.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
+
+        # descriptor head
+        cda = nn.relu(conv(256, name="convDa")(x))
+        desc = nn.Conv(self.descriptor_dim, (1, 1), dtype=self.dtype,
+                       name="convDb")(cda)
+        desc = desc.astype(jnp.float32)
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        return heat, desc
+
+
+def simple_nms(scores: Array, nms_radius: int = 4) -> Array:
+    """Fast NMS by max-pooling, 2 suppression-refinement iterations.
+
+    Exact port of semantics at ref SuperGlue/models/superpoint.py:32-50.
+    scores: (B, H, W).
+    """
+    size = 2 * nms_radius + 1
+
+    def max_pool(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, size, size), (1, 1, 1), "SAME")
+
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == max_pool(scores)
+    for _ in range(2):
+        supp_mask = max_pool(max_mask.astype(jnp.float32)) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == max_pool(supp_scores)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    return jnp.where(max_mask, scores, zeros)
+
+
+def sample_descriptors(dense_desc: Array, kpts: Array, s: int = 8) -> Array:
+    """Bilinear-sample dense descriptors at pixel keypoints + L2 normalize.
+
+    dense_desc: (Hc, Wc, D); kpts: (K, 2) pixel coords in the full image.
+    Matches torch grid_sample(align_corners=False) coordinate transform
+    (ref SuperGlue/models/superpoint.py:53-67).
+    """
+    hc, wc, d = dense_desc.shape
+    # exact torch transform: kp' = (kp - s/2 + 0.5) / (wc*s - s/2 - 0.5),
+    # grid_sample(align_corners=True) => x_desc = kp' * (wc - 1)
+    scale = jnp.array([wc * s - s / 2 - 0.5, hc * s - s / 2 - 0.5], jnp.float32)
+    span = jnp.array([wc - 1, hc - 1], jnp.float32)
+    xy = (kpts - s / 2 + 0.5) / scale * span
+    from icepy4d_tpu.ops.image import bilinear_sample
+
+    desc = bilinear_sample(dense_desc, xy)
+    return desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+
+
+class SuperPoint:
+    """User-facing extractor with static top-K output.
+
+    extract(params, images) -> dict with
+      keypoints (B,K,2) float32 [x,y] pixels
+      scores    (B,K)   float32
+      descriptors (B,K,256) float32 L2-normalized
+      mask      (B,K)   bool  (valid = above threshold, not border)
+    """
+
+    def __init__(
+        self,
+        max_keypoints: int = 2048,
+        detection_threshold: float = 0.005,
+        nms_radius: int = 4,
+        remove_borders: int = 4,
+        descriptor_dim: int = 256,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.max_keypoints = int(max_keypoints)
+        self.detection_threshold = float(detection_threshold)
+        self.nms_radius = int(nms_radius)
+        self.remove_borders = int(remove_borders)
+        self.descriptor_dim = int(descriptor_dim)
+        self.net = SuperPointNet(descriptor_dim=descriptor_dim, dtype=dtype)
+
+    def init(self, rng, h: int = 64, w: int = 64):
+        return self.net.init(rng, jnp.zeros((1, h, w, 1), jnp.float32))
+
+    @partial(jax.jit, static_argnums=0)
+    def extract(self, params, images: Array) -> dict:
+        """images: (B, H, W) or (B, H, W, 1) grayscale in [0, 1]."""
+        if images.ndim == 3:
+            images = images[..., None]
+        b, h, w, _ = images.shape
+        heat, dense_desc = self.net.apply(params, images)
+        heat = simple_nms(heat, self.nms_radius)
+
+        # border removal (ref superpoint.py:53-60)
+        r = self.remove_borders
+        if r > 0:
+            ys = jnp.arange(h)
+            xs = jnp.arange(w)
+            border = ((ys < r) | (ys >= h - r))[:, None] | \
+                     ((xs < r) | (xs >= w - r))[None, :]
+            heat = jnp.where(border[None], 0.0, heat)
+
+        k = min(self.max_keypoints, h * w)
+        flat = heat.reshape(b, -1)
+        scores, idx = jax.lax.top_k(flat, k)
+        yy = (idx // w).astype(jnp.float32)
+        xx = (idx % w).astype(jnp.float32)
+        kpts = jnp.stack([xx, yy], -1)  # (B, K, 2) [x, y]
+        mask = scores > self.detection_threshold
+
+        desc = jax.vmap(sample_descriptors, in_axes=(0, 0))(dense_desc, kpts)
+        return {
+            "keypoints": kpts,
+            "scores": jnp.where(mask, scores, 0.0),
+            "descriptors": jnp.where(mask[..., None], desc, 0.0),
+            "mask": mask,
+        }
+
+
+def superpoint_init(rng=None, **kwargs) -> tuple[SuperPoint, dict]:
+    """Build a SuperPoint and params (random unless a checkpoint is loaded
+    afterwards via models.convert.load_torch_superpoint)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    model = SuperPoint(**kwargs)
+    return model, model.init(rng)
