@@ -76,7 +76,9 @@ def lightglue_params_from_torch(state_dict: dict, n_layers: int = 9) -> dict:
     """
     sd = state_dict
     params: dict = {
-        "input_proj": _linear(sd, "input_proj"),
+        # input_proj is Identity when input_dim == descriptor_dim
+        "input_proj": (_linear(sd, "input_proj")
+                       if "input_proj.weight" in sd else {}),
         "posenc": {"Wr": {"kernel": _np(sd["posenc.Wr.weight"]).T}},
         "layers": [],
         "assign": [],

@@ -1,0 +1,108 @@
+"""Fused masked attention for the matcher transformers.
+
+The matchers' hot kernel (ref thirdparty/LightGlue/lightglue/lightglue.py:
+92-131 SDPA, thirdparty/SuperGlue/models/superglue.py:96-129 einsum
+attention) re-designed for TPU:
+
+  * `masked_attention` — one (B,H,N,hd) masked softmax-attention program.
+    On TPU with aligned shapes it runs the Pallas kernel below; otherwise
+    one fused XLA einsum program (XLA already fuses scale+mask+softmax
+    into the matmuls on TPU, so the fallback is fast too).
+
+  * `_flash_kernel` — Pallas kernel tiling queries over the grid; keys/
+    values for one (batch, head) live in VMEM (keypoint sets are a few
+    thousand tokens * 64 dims => K/V ~1 MB, far under the 16 MB VMEM
+    budget), so each query tile is a single MXU matmul pair with the
+    softmax in between — no HBM round-trip for the (TQ, Nk) score tile.
+
+Key masking uses additive -1e9 (finite, so fully-masked rows yield a
+uniform distribution instead of NaN; invalid queries are discarded by the
+caller's validity mask downstream).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_Q_TILE = 128
+
+
+def _xla_attention(q: Array, k: Array, v: Array, kmask: Array) -> Array:
+    scale = q.shape[-1] ** -0.5
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                     preferred_element_type=jnp.float32) * scale
+    sim = jnp.where(kmask[:, None, None, :], sim, -1e9)
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]  # (TQ, hd)
+    k = k_ref[0, 0]  # (Nk, hd)
+    v = v_ref[0, 0]
+    m = m_ref[0]     # (Nk,) float 0/1
+    sim = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    sim = sim + (m - 1.0)[None, :] * 1e9
+    p = jax.nn.softmax(sim, axis=-1)
+    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32
+                          ).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(q: Array, k: Array, v: Array, kmask: Array,
+                    interpret: bool = False) -> Array:
+    """Pallas masked attention. q (B,H,Nq,hd), k/v (B,H,Nk,hd), kmask (B,Nk).
+
+    Nq must be a multiple of 128.
+    """
+    b, h, nq, hd = q.shape
+    nk = k.shape[2]
+    grid = (b, h, nq // _Q_TILE)
+    mf = kmask.astype(jnp.float32)
+    return pl.pallas_call(
+        partial(_flash_kernel, scale=hd ** -0.5),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, _Q_TILE, hd), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, hd), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, hd), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk), lambda bi, hi, qi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, _Q_TILE, hd), lambda bi, hi, qi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * nq * nk * hd,
+            bytes_accessed=4 * b * h * (nq + 2 * nk) * hd,
+            transcendentals=b * h * nq * nk,
+        ),
+        interpret=interpret,
+    )(q, k, v, mf)
+
+
+def masked_attention(q: Array, k: Array, v: Array, kmask: Array) -> Array:
+    """Dispatch: Pallas on TPU for aligned shapes, XLA otherwise."""
+    nq, hd = q.shape[-2], q.shape[-1]
+    nk = k.shape[-2]
+    on_tpu = jax.default_backend() == "tpu"
+    aligned = nq % _Q_TILE == 0 and hd % 8 == 0 and nk % 128 == 0
+    # K/V + score tile must fit VMEM comfortably
+    fits = nk * hd * 4 * 2 + _Q_TILE * nk * 4 < 8 * 1024 * 1024
+    if on_tpu and aligned and fits:
+        return flash_attention(q, k, v, kmask)
+    return _xla_attention(q, k, v, kmask)
