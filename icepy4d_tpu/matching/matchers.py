@@ -1,0 +1,586 @@
+"""Image matchers: SuperPoint extraction + LightGlue / SuperGlue matching.
+
+TPU-first redesign of the reference matching engine
+(matching/matchers.py:68-1342). Key differences from the reference:
+
+- Tiles are a statically-shaped device batch: SuperPoint runs ONCE over
+  every tile of both images (one fused forward), instead of the
+  reference's sequential per-tile-pair python loop (matchers.py:367-425).
+- Tile-pair matching is a single vmapped matcher forward over the selected
+  pair batch (padded to a power-of-two bucket to keep jit caches small).
+- All keypoint sets are fixed-capacity padded arrays with validity masks
+  (no dynamic shapes anywhere under jit).
+- Geometric verification is hypothesis-parallel on-device RANSAC
+  (ops/ransac.py) instead of pydegensac's sequential C++ loop.
+
+Host work is limited to image decode, tile-pair selection bookkeeping and
+final assembly of the (small) match list.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from itertools import product
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icepy4d_tpu.matching.enums import (
+    GeometricVerification,
+    Quality,
+    QUALITY_NAMES,
+    QUALITY_SCALE,
+    TileSelection,
+)
+from icepy4d_tpu.matching.geometric_verification import geometric_verification
+from icepy4d_tpu.matching.tiling import Tiler
+from icepy4d_tpu.models.superpoint import SuperPoint
+from icepy4d_tpu.models.lightglue import LightGlue
+from icepy4d_tpu.models.superglue import SuperGlue
+from icepy4d_tpu.ops.image import quality_resize, rgb_to_gray
+
+logger = logging.getLogger("icepy4d_tpu")
+
+MIN_MATCHES_PER_TILE = 5
+
+
+@dataclass
+class FeaturesBase:
+    """Matcher-internal feature bundle (ref matchers.py:44-48).
+
+    keypoints (N, 2) float32 [x, y]; descriptors (D, N) — the reference's
+    column-major layout is kept for API parity; scores (N,).
+    """
+
+    keypoints: np.ndarray
+    descriptors: np.ndarray = None
+    scores: np.ndarray = None
+
+
+def _round_up_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def _pad_to_multiple(img: jnp.ndarray, m: int = 8) -> jnp.ndarray:
+    h, w = img.shape[:2]
+    ph = (-h) % m
+    pw = (-w) % m
+    if ph or pw:
+        img = jnp.pad(img, ((0, ph), (0, pw)) + ((0, 0),) * (img.ndim - 2))
+    return img
+
+
+@partial(jax.jit, static_argnames=("quality",))
+def _preprocess(image: jnp.ndarray, quality: str) -> jnp.ndarray:
+    """uint8/float (H, W[, 3]) -> grayscale [0,1] at the quality scale.
+
+    One fused XLA program: running grayscale + pyramid eagerly costs one
+    compile per conv op, which is expensive over remote-TPU tunnels.
+    """
+    img = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        img = img / 255.0
+    if img.ndim == 3:
+        img = rgb_to_gray(img)
+    return quality_resize(img, quality)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _downsample(img: jnp.ndarray, n: int) -> jnp.ndarray:
+    for _ in range(n):
+        img = quality_resize(img, "medium")
+    return img
+
+
+class ImageMatcherBase:
+    """Template-method matcher (API parity: ref matchers.py:68-824).
+
+    match(image0, image1, quality, tile_selection, **config) resizes by
+    Quality, extracts+matches (full-frame or tiled), rescales keypoints to
+    original pixels, geometric-verifies, and exposes results via the
+    mkpts0/1, descriptors0/1, scores0/1, mconf properties.
+    """
+
+    def __init__(self, opt: dict | None = None) -> None:
+        opt = dict(opt or {})
+        self._opt = opt
+        self._max_keypoints = int(opt.get("max_keypoints", -1))
+        if self._max_keypoints <= 0:
+            self._max_keypoints = 4096
+        self._reset()
+        self._sp_cache: dict[tuple, SuperPoint] = {}
+        self._build_models(opt)
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def _build_models(self, opt: dict) -> None:
+        raise NotImplementedError
+
+    def _matcher_data_extra(self, feats, idx, size):
+        """Extra per-side data entries (e.g. SuperGlue needs scores)."""
+        return {}
+
+    def _init_sp_params(self, opt: dict, rng):
+        if "superpoint_params" in opt:
+            return opt["superpoint_params"]
+        if "superpoint_weights" in opt:
+            from icepy4d_tpu.models.convert import load_torch_superpoint
+
+            return load_torch_superpoint(opt["superpoint_weights"])
+        logger.warning("SuperPoint: no checkpoint given — random weights")
+        return self._superpoint(self._max_keypoints).init(rng)
+
+    def _run_matcher(self, data: dict) -> dict:
+        raise NotImplementedError
+
+    # -- public results ------------------------------------------------------
+
+    def _reset(self) -> None:
+        self._mkpts0 = np.empty((0, 2), np.float32)
+        self._mkpts1 = np.empty((0, 2), np.float32)
+        self._descriptors0 = np.empty((256, 0), np.float32)
+        self._descriptors1 = np.empty((256, 0), np.float32)
+        self._scores0 = np.empty((0,), np.float32)
+        self._scores1 = np.empty((0,), np.float32)
+        self._mconf = np.empty((0,), np.float32)
+        self._F = None
+        self._inlier_mask = None
+
+    @property
+    def mkpts0(self) -> np.ndarray:
+        return self._mkpts0
+
+    @property
+    def mkpts1(self) -> np.ndarray:
+        return self._mkpts1
+
+    @property
+    def descriptors0(self) -> np.ndarray:
+        return self._descriptors0
+
+    @property
+    def descriptors1(self) -> np.ndarray:
+        return self._descriptors1
+
+    @property
+    def scores0(self) -> np.ndarray:
+        return self._scores0
+
+    @property
+    def scores1(self) -> np.ndarray:
+        return self._scores1
+
+    @property
+    def mconf(self) -> np.ndarray:
+        return self._mconf
+
+    @property
+    def F(self):
+        return self._F
+
+    @property
+    def inlier_mask(self):
+        return self._inlier_mask
+
+    # -- building blocks -----------------------------------------------------
+
+    def _superpoint(self, max_keypoints: int) -> SuperPoint:
+        key = (
+            max_keypoints,
+            float(self._opt.get("keypoint_threshold", 0.0005)),
+            int(self._opt.get("nms_radius", 4)),
+        )
+        if key not in self._sp_cache:
+            self._sp_cache[key] = SuperPoint(
+                max_keypoints=key[0],
+                detection_threshold=key[1],
+                nms_radius=key[2],
+            )
+        return self._sp_cache[key]
+
+    @staticmethod
+    def _to_gray_device(image: np.ndarray) -> jnp.ndarray:
+        img = jnp.asarray(image)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        else:
+            img = img.astype(jnp.float32)
+        if img.ndim == 3:
+            img = rgb_to_gray(img)
+        return img
+
+    def _extract(self, tiles: jnp.ndarray, max_keypoints: int) -> dict:
+        """SuperPoint over a (T, h, w) tile batch -> padded feature dict."""
+        sp = self._superpoint(max_keypoints)
+        return sp.extract(self._sp_params, tiles)
+
+    def _match_pair_batch(
+        self,
+        feats0: dict,
+        feats1: dict,
+        idx0: np.ndarray,
+        idx1: np.ndarray,
+        pair_valid: np.ndarray,
+        size0: tuple[int, int],
+        size1: tuple[int, int],
+    ) -> dict:
+        """Vmapped matcher forward over a padded batch of tile pairs.
+
+        feats*: SuperPoint outputs over the tile batches (T*, K, ...).
+        idx0/idx1 (P,): tile indices per pair; pair_valid (P,) masks
+        bucket padding. size* = (w, h) of one tile.
+        """
+        pv = jnp.asarray(pair_valid)[:, None]
+        data = {
+            "kpts0": feats0["keypoints"][idx0],
+            "desc0": feats0["descriptors"][idx0],
+            "mask0": feats0["mask"][idx0] & pv,
+            "size0": jnp.broadcast_to(
+                jnp.asarray(size0, jnp.float32), (len(idx0), 2)),
+            "kpts1": feats1["keypoints"][idx1],
+            "desc1": feats1["descriptors"][idx1],
+            "mask1": feats1["mask"][idx1] & pv,
+            "size1": jnp.broadcast_to(
+                jnp.asarray(size1, jnp.float32), (len(idx1), 2)),
+        }
+        data.update(self._matcher_data_extra(feats0, idx0, 0))
+        data.update(self._matcher_data_extra(feats1, idx1, 1))
+        return self._run_matcher(data)
+
+    @staticmethod
+    def _assemble(
+        feats0: dict,
+        feats1: dict,
+        out: dict,
+        idx0: np.ndarray,
+        idx1: np.ndarray,
+        origins0: np.ndarray,
+        origins1: np.ndarray,
+    ):
+        """Flatten a batched match result to host-side matched arrays."""
+        m0 = np.asarray(out["matches0"])          # (P, K)
+        conf = np.asarray(out["mscores0"])        # (P, K)
+        kpts0 = np.asarray(feats0["keypoints"])   # (T0, K, 2)
+        kpts1 = np.asarray(feats1["keypoints"])
+        desc0 = np.asarray(feats0["descriptors"])  # (T0, K, D)
+        desc1 = np.asarray(feats1["descriptors"])
+        sc0 = np.asarray(feats0["scores"])
+        sc1 = np.asarray(feats1["scores"])
+
+        rows = []
+        for p in range(m0.shape[0]):
+            valid = m0[p] > -1
+            if not valid.any():
+                continue
+            j = m0[p][valid]
+            t0, t1 = idx0[p], idx1[p]
+            mk0 = kpts0[t0][valid] + origins0[t0]
+            mk1 = kpts1[t1][j] + origins1[t1]
+            rows.append((
+                mk0, mk1, desc0[t0][valid], desc1[t1][j],
+                sc0[t0][valid], sc1[t1][j], conf[p][valid],
+            ))
+        if not rows:
+            z2 = np.empty((0, 2), np.float32)
+            zd = np.empty((0, desc0.shape[-1]), np.float32)
+            z = np.empty((0,), np.float32)
+            return z2, z2, zd, zd, z, z, z
+        cat = [np.concatenate(x, 0) for x in zip(*rows)]
+        return tuple(cat)
+
+    @staticmethod
+    def _dedup(mk0, mk1, d0, d1, s0, s1, conf):
+        """Unique features on image0 (ref matchers.py:444-450)."""
+        mk0, uniq = np.unique(mk0, axis=0, return_index=True)
+        return (mk0, mk1[uniq], d0[uniq], d1[uniq], s0[uniq], s1[uniq],
+                conf[uniq])
+
+    # -- tile selection --------------------------------------------------------
+
+    def _select_tile_pairs(
+        self,
+        img0: jnp.ndarray,
+        img1: jnp.ndarray,
+        tiler0: Tiler,
+        tiler1: Tiler,
+        method: TileSelection,
+        min_matches_per_tile: int,
+    ) -> list[tuple[int, int]]:
+        t0 = list(tiler0.limits.keys())
+        t1 = list(tiler1.limits.keys())
+        if method is TileSelection.EXHAUSTIVE:
+            return sorted(product(t0, t1))
+        if method is TileSelection.GRID:
+            return sorted(zip(t0, t1))
+        if method is not TileSelection.PRESELECTION:
+            raise ValueError(f"unsupported tile selection {method}")
+
+        # PRESELECTION (ref matchers.py:513-560): match heavily-downsampled
+        # full frames, vote tile pairs containing enough coarse matches.
+        h = int(img0.shape[0])
+        if h > 8000:
+            n_down = 4
+        elif h > 4000:
+            n_down = 3
+        elif h > 2000:
+            n_down = 2
+        else:
+            n_down = 1
+        lo0 = _downsample(img0, n_down)
+        lo1 = _downsample(img1, n_down)
+        mk0, mk1, *_ = self._match_full(lo0, lo1, max_keypoints=4096)
+        scale = float(2 ** n_down)
+        mk0 = mk0 * scale
+        mk1 = mk1 * scale
+
+        pairs = []
+        for i, j in sorted(product(t0, t1)):
+            l0 = tiler0.limits[i]
+            l1 = tiler1.limits[j]
+            in0 = (
+                (mk0[:, 0] > l0[0]) & (mk0[:, 0] < l0[2])
+                & (mk0[:, 1] > l0[1]) & (mk0[:, 1] < l0[3])
+            )
+            in1 = (
+                (mk1[:, 0] > l1[0]) & (mk1[:, 0] < l1[2])
+                & (mk1[:, 1] > l1[1]) & (mk1[:, 1] < l1[3])
+            )
+            if int((in0 & in1).sum()) > min_matches_per_tile:
+                pairs.append((i, j))
+        logger.info("Preselection kept %d tile pairs", len(pairs))
+        return pairs
+
+    # -- matching paths --------------------------------------------------------
+
+    def _match_full(self, img0, img1, max_keypoints: int | None = None):
+        """Single full-frame pair match -> host matched arrays."""
+        k = max_keypoints or self._max_keypoints
+        p0 = _pad_to_multiple(img0)
+        p1 = _pad_to_multiple(img1)
+        if p0.shape == p1.shape:
+            feats = self._extract(jnp.stack([p0, p1]), k)
+            feats0 = jax.tree.map(lambda a: a[:1], feats)
+            feats1 = jax.tree.map(lambda a: a[1:], feats)
+        else:
+            feats0 = self._extract(p0[None], k)
+            feats1 = self._extract(p1[None], k)
+        size0 = (int(img0.shape[1]), int(img0.shape[0]))
+        size1 = (int(img1.shape[1]), int(img1.shape[0]))
+        idx = np.zeros(1, np.int32)
+        out = self._match_pair_batch(
+            feats0, feats1, idx, idx, np.ones(1, bool), size0, size1)
+        zero = np.zeros((1, 2), np.float32)
+        return self._assemble(feats0, feats1, out, idx, idx, zero, zero)
+
+    def _match_tiled(
+        self,
+        img0,
+        img1,
+        tile_selection: TileSelection,
+        grid,
+        overlap: int,
+        origin,
+        min_matches_per_tile: int,
+    ):
+        tiler0 = Tiler(grid=grid, overlap=overlap, origin=origin)
+        tiler1 = Tiler(grid=grid, overlap=overlap, origin=origin)
+        tiler0.compute_limits_by_grid(np.empty(img0.shape[:2]))
+        tiler1.compute_limits_by_grid(np.empty(img1.shape[:2]))
+        self._tiler = tiler0
+
+        pairs = self._select_tile_pairs(
+            img0, img1, tiler0, tiler1, tile_selection, min_matches_per_tile)
+        if not pairs:
+            logger.warning("No tile pairs selected — no matches")
+            z2 = np.empty((0, 2), np.float32)
+            zd = np.empty((0, 256), np.float32)
+            z = np.empty((0,), np.float32)
+            return z2, z2, zd, zd, z, z, z
+
+        tiles0 = tiler0.extract_all(img0)
+        tiles1 = tiler1.extract_all(img1)
+        feats0 = self._extract(tiles0, self._max_keypoints)
+        feats1 = self._extract(tiles1, self._max_keypoints)
+
+        # pad the pair list to a power-of-two bucket: stable jit shapes
+        p = len(pairs)
+        bucket = _round_up_pow2(p)
+        idx0 = np.zeros(bucket, np.int32)
+        idx1 = np.zeros(bucket, np.int32)
+        idx0[:p] = [a for a, _ in pairs]
+        idx1[:p] = [b for _, b in pairs]
+        pair_valid = np.arange(bucket) < p
+
+        th, tw = tiler0.tile_size
+        out = self._match_pair_batch(
+            feats0, feats1, idx0, idx1, pair_valid, (tw, th), (tw, th))
+        res = self._assemble(
+            feats0, feats1, out, idx0, idx1,
+            tiler0.tile_origins().astype(np.float32),
+            tiler1.tile_origins().astype(np.float32),
+        )
+        return self._dedup(*res)
+
+    # -- template method --------------------------------------------------------
+
+    def match(
+        self,
+        image0: np.ndarray,
+        image1: np.ndarray,
+        quality: Quality = Quality.HIGH,
+        tile_selection: TileSelection = TileSelection.NONE,
+        **config,
+    ) -> bool:
+        """Match two images; results land in the mkpts0/1... properties.
+
+        Mirrors the reference driver (matchers.py:139-261): quality
+        resize -> (full | tiled) matching -> rescale keypoints ->
+        geometric verification -> inlier filtering.
+        """
+        self._reset()
+        gv_method = config.get(
+            "geometric_verification", GeometricVerification.PYDEGENSAC)
+        threshold = config.get("threshold", 1.0)
+        confidence = config.get("confidence", 0.9999)
+        save_dir = config.get("save_dir", None)
+
+        qname = QUALITY_NAMES[quality]
+        g0 = _preprocess(jnp.asarray(image0), qname)
+        g1 = _preprocess(jnp.asarray(image1), qname)
+
+        if tile_selection is TileSelection.NONE:
+            res = self._match_full(g0, g1)
+        else:
+            res = self._match_tiled(
+                g0, g1, tile_selection,
+                grid=config.get("grid", [1, 1]),
+                overlap=int(config.get("overlap", 0)),
+                origin=config.get("origin", [0, 0]),
+                min_matches_per_tile=int(
+                    config.get("min_matches_per_tile", MIN_MATCHES_PER_TILE)),
+            )
+        mk0, mk1, d0, d1, s0, s1, conf = res
+
+        # back to original-resolution pixel coordinates
+        scale = QUALITY_SCALE[quality]
+        if scale != 1.0:
+            mk0 = mk0 / scale
+            mk1 = mk1 / scale
+
+        self._mkpts0 = np.asarray(mk0, np.float32)
+        self._mkpts1 = np.asarray(mk1, np.float32)
+        self._descriptors0 = np.asarray(d0, np.float32).T
+        self._descriptors1 = np.asarray(d1, np.float32).T
+        self._scores0 = np.asarray(s0, np.float32)
+        self._scores1 = np.asarray(s1, np.float32)
+        self._mconf = np.asarray(conf, np.float32)
+        logger.info("Found %d putative matches", len(self._mconf))
+
+        if gv_method is not GeometricVerification.NONE:
+            F, mask = geometric_verification(
+                self._mkpts0, self._mkpts1, method=gv_method,
+                threshold=threshold, confidence=confidence,
+            )
+            self._F = F
+            self._inlier_mask = mask
+            self._filter_matches_by_mask(mask)
+
+        if save_dir is not None:
+            self.save_mkpts_as_txt(save_dir)
+        return True
+
+    def _filter_matches_by_mask(self, mask: np.ndarray) -> None:
+        """Keep inliers only (ref matchers.py:682-700)."""
+        self._mkpts0 = self._mkpts0[mask]
+        self._mkpts1 = self._mkpts1[mask]
+        self._descriptors0 = self._descriptors0[:, mask]
+        self._descriptors1 = self._descriptors1[:, mask]
+        self._scores0 = self._scores0[mask]
+        self._scores1 = self._scores1[mask]
+        self._mconf = self._mconf[mask]
+
+    def save_mkpts_as_txt(
+        self, savedir, delimiter: str = ",", header: str = "x,y",
+    ) -> None:
+        """Save matched keypoints to text files (ref matchers.py:802-824)."""
+        path = Path(savedir)
+        path.mkdir(parents=True, exist_ok=True)
+        for name, arr in (("keypoints_0.txt", self._mkpts0),
+                          ("keypoints_1.txt", self._mkpts1)):
+            np.savetxt(path / name, arr, fmt="%.2f", delimiter=delimiter,
+                       newline="\n", header=header)
+
+
+class LightGlueMatcher(ImageMatcherBase):
+    """SuperPoint + LightGlue (ref matchers.py:1202-1342).
+
+    opt keys: max_keypoints (default 4096), filter_threshold (0.1),
+    n_layers (9), superpoint_weights / lightglue_weights (torch .pth
+    paths), superpoint_params / matcher_params (ready JAX pytrees).
+    """
+
+    def _build_models(self, opt: dict) -> None:
+        self.matcher = LightGlue(
+            n_layers=int(opt.get("n_layers", 9)),
+            filter_threshold=float(opt.get("filter_threshold", 0.1)),
+        )
+        rng = jax.random.PRNGKey(int(opt.get("seed", 0)))
+        self._sp_params = self._init_sp_params(opt, rng)
+        if "matcher_params" in opt:
+            self._matcher_params = opt["matcher_params"]
+        elif "lightglue_weights" in opt:
+            from icepy4d_tpu.models.convert import load_torch_lightglue
+
+            self._matcher_params = load_torch_lightglue(
+                opt["lightglue_weights"], n_layers=self.matcher.n_layers)
+        else:
+            logger.warning(
+                "LightGlueMatcher: no checkpoint given — random weights")
+            self._matcher_params = self.matcher.init(rng)
+
+    def _run_matcher(self, data: dict) -> dict:
+        return self.matcher.match(self._matcher_params, data)
+
+
+class SuperGlueMatcher(ImageMatcherBase):
+    """SuperPoint + SuperGlue (ref matchers.py:826-1002).
+
+    Defaults mirror _build_superglue_config (matchers.py:854-890):
+    keypoint_threshold 0.001, nms_radius 3, sinkhorn_iterations 20,
+    match_threshold 0.3.
+    """
+
+    def __init__(self, opt: dict | None = None) -> None:
+        opt = dict(opt or {})
+        opt.setdefault("keypoint_threshold", 0.001)
+        opt.setdefault("nms_radius", 3)
+        super().__init__(opt)
+
+    def _build_models(self, opt: dict) -> None:
+        self.matcher = SuperGlue(
+            sinkhorn_iterations=int(opt.get("sinkhorn_iterations", 20)),
+            match_threshold=float(opt.get("match_threshold", 0.3)),
+        )
+        rng = jax.random.PRNGKey(int(opt.get("seed", 0)))
+        self._sp_params = self._init_sp_params(opt, rng)
+        if "matcher_params" in opt:
+            self._matcher_params = opt["matcher_params"]
+        elif "superglue_weights" in opt:
+            from icepy4d_tpu.models.convert import load_torch_superglue
+
+            self._matcher_params = load_torch_superglue(
+                opt["superglue_weights"])
+        else:
+            logger.warning(
+                "SuperGlueMatcher: no checkpoint given — random weights")
+            self._matcher_params = self.matcher.init(rng)
+
+    def _matcher_data_extra(self, feats, idx, side: int) -> dict:
+        return {f"scores{side}": feats["scores"][idx]}
+
+    def _run_matcher(self, data: dict) -> dict:
+        return self.matcher.match(self._matcher_params, data)

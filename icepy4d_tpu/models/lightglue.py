@@ -234,14 +234,18 @@ class LightGlue:
         self.filter_threshold = float(filter_threshold)
 
     # -- initialization ----------------------------------------------------
-    def init(self, rng) -> dict:
+    def init(self, rng=0) -> dict:
+        """Random init. Host-side numpy RNG: eager per-param device ops are
+        pathologically slow over remote-TPU tunnels (~1.5 s per dispatch)."""
         d = self.descriptor_dim
         hd = d // self.num_heads
-        keys = iter(jax.random.split(rng, 200))
+        seed = rng if isinstance(rng, int) else int(
+            np.asarray(jax.random.key_data(rng)).ravel()[-1])
+        npr = np.random.default_rng(seed)
 
         def lin(din, dout, bias=True):
-            p = {"kernel": jax.random.normal(next(keys), (din, dout)) /
-                 np.sqrt(din)}
+            p = {"kernel": jnp.asarray(
+                npr.normal(size=(din, dout)) / np.sqrt(din), jnp.float32)}
             if bias:
                 p["bias"] = jnp.zeros((dout,))
             return p
@@ -255,8 +259,8 @@ class LightGlue:
 
         params = {
             "input_proj": lin(self.input_dim, d),
-            "posenc": {"Wr": {"kernel":
-                              jax.random.normal(next(keys), (2, hd // 2))}},
+            "posenc": {"Wr": {"kernel": jnp.asarray(
+                npr.normal(size=(2, hd // 2)), jnp.float32)}},
             "layers": [], "assign": [], "confidence": [],
         }
         for i in range(self.n_layers):
@@ -288,11 +292,20 @@ class LightGlue:
         enc0 = rotary_encoding(params["posenc"], kpts0)
         enc1 = rotary_encoding(params["posenc"], kpts1)
 
-        for layer in params["layers"]:
-            d0 = self_block(layer["self_attn"], d0, enc0, mask0, self.num_heads)
-            d1 = self_block(layer["self_attn"], d1, enc1, mask1, self.num_heads)
-            d0, d1 = cross_block(layer["cross_attn"], d0, d1, mask0, mask1,
-                                 self.num_heads)
+        # lax.scan over stacked layers: 9x smaller HLO than an unrolled
+        # loop (compile time matters — remote-TPU compiles are expensive)
+        nh = self.num_heads
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+        def body(carry, layer):
+            c0, c1 = carry
+            c0 = self_block(layer["self_attn"], c0, enc0, mask0, nh)
+            c1 = self_block(layer["self_attn"], c1, enc1, mask1, nh)
+            c0, c1 = cross_block(layer["cross_attn"], c0, c1, mask0, mask1,
+                                 nh)
+            return (c0, c1), None
+
+        (d0, d1), _ = jax.lax.scan(body, (d0, d1), stacked)
 
         scores = match_assignment(params["assign"][-1], d0, d1, mask0, mask1)
         matches0, matches1, ms0, ms1 = filter_matches(

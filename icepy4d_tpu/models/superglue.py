@@ -170,13 +170,17 @@ class SuperGlue:
         self.sinkhorn_iterations = sinkhorn_iterations
         self.match_threshold = float(match_threshold)
 
-    def init(self, rng) -> dict:
+    def init(self, rng=0) -> dict:
+        """Random init via host numpy (see LightGlue.init for why)."""
         d = self.descriptor_dim
-        keys = iter(jax.random.split(rng, 400))
+        seed = rng if isinstance(rng, int) else int(
+            np.asarray(jax.random.key_data(rng)).ravel()[-1])
+        npr = np.random.default_rng(seed)
 
         def lin(din, dout):
-            return {"kernel": jax.random.normal(next(keys), (din, dout)) /
-                    np.sqrt(din), "bias": jnp.zeros((dout,))}
+            return {"kernel": jnp.asarray(
+                npr.normal(size=(din, dout)) / np.sqrt(din), jnp.float32),
+                "bias": jnp.zeros((dout,))}
 
         def mlp(channels, bn=True):
             out = []
@@ -216,15 +220,27 @@ class SuperGlue:
         d1 = data["desc1"] + keypoint_encoder(params["kenc"], kn1,
                                               data["scores1"])
 
-        for i, layer in enumerate(params["gnn"]):
-            if i % 2 == 0:  # self
-                s0, s1, sm0, sm1 = d0, d1, mask0, mask1
-            else:  # cross
-                s0, s1, sm0, sm1 = d1, d0, mask1, mask0
-            delta0 = _attn_propagation(layer, d0, s0, sm0, self.num_heads)
-            delta1 = _attn_propagation(layer, d1, s1, sm1, self.num_heads)
-            d0 = d0 + delta0
-            d1 = d1 + delta1
+        # lax.scan over (self, cross) layer pairs: 9x smaller HLO than the
+        # reference's unrolled 18-layer loop (superglue.py:272-279); the
+        # layers alternate self (even) / cross (odd) attention.
+        assert self.gnn_layers % 2 == 0, "gnn layers must alternate in pairs"
+        nh = self.num_heads
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["gnn"])
+        paired = jax.tree.map(
+            lambda a: a.reshape((self.gnn_layers // 2, 2) + a.shape[1:]),
+            stacked)
+
+        def body(carry, pair):
+            c0, c1 = carry
+            sl = jax.tree.map(lambda a: a[0], pair)
+            c0 = c0 + _attn_propagation(sl, c0, c0, mask0, nh)
+            c1 = c1 + _attn_propagation(sl, c1, c1, mask1, nh)
+            cl = jax.tree.map(lambda a: a[1], pair)
+            delta0 = _attn_propagation(cl, c0, c1, mask1, nh)
+            delta1 = _attn_propagation(cl, c1, c0, mask0, nh)
+            return (c0 + delta0, c1 + delta1), None
+
+        (d0, d1), _ = jax.lax.scan(body, (d0, d1), paired)
 
         md0 = _linear(params["final_proj"], d0)
         md1 = _linear(params["final_proj"], d1)

@@ -149,7 +149,10 @@ class SuperPoint:
         self.net = SuperPointNet(descriptor_dim=descriptor_dim, dtype=dtype)
 
     def init(self, rng, h: int = 64, w: int = 64):
-        return self.net.init(rng, jnp.zeros((1, h, w, 1), jnp.float32))
+        # jit the whole init: eagerly it dispatches hundreds of tiny ops,
+        # which is very slow over a remote-TPU tunnel
+        return jax.jit(self.net.init)(
+            rng, jnp.zeros((1, h, w, 1), jnp.float32))
 
     @partial(jax.jit, static_argnums=0)
     def extract(self, params, images: Array) -> dict:

@@ -48,7 +48,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
     q = q_ref[0, 0]  # (TQ, hd)
     k = k_ref[0, 0]  # (Nk, hd)
     v = v_ref[0, 0]
-    m = m_ref[0]     # (Nk,) float 0/1
+    m = m_ref[0, 0]  # (Nk,) float 0/1
     sim = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -68,7 +68,9 @@ def flash_attention(q: Array, k: Array, v: Array, kmask: Array,
     b, h, nq, hd = q.shape
     nk = k.shape[2]
     grid = (b, h, nq // _Q_TILE)
-    mf = kmask.astype(jnp.float32)
+    # (B, 1, Nk): the block's trailing two dims (1, Nk) match the array's,
+    # satisfying the Mosaic (8, 128)-tiling rule for any batch size.
+    mf = kmask.astype(jnp.float32)[:, None, :]
     return pl.pallas_call(
         partial(_flash_kernel, scale=hd ** -0.5),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -80,7 +82,7 @@ def flash_attention(q: Array, k: Array, v: Array, kmask: Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nk, hd), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk), lambda bi, hi, qi: (bi, 0),
+            pl.BlockSpec((1, 1, nk), lambda bi, hi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

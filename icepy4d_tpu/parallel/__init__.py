@@ -1,0 +1,16 @@
+"""Device-mesh parallelism.
+
+The reference is single-process/single-GPU (SURVEY.md §2.12); here
+multi-chip scaling is first-class: a named `jax.sharding.Mesh` with
+`data` (stereo pairs / epochs / tiles) and `model` (attention heads)
+axes, sharded matcher steps via pjit, and XLA collectives over ICI.
+"""
+
+from icepy4d_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from icepy4d_tpu.parallel.epoch_step import (  # noqa: F401
+    make_sharded_match_step,
+)
