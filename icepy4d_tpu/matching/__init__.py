@@ -16,6 +16,11 @@ from icepy4d_tpu.matching.matchers import (  # noqa: F401
     FeaturesBase,
     ImageMatcherBase,
     LightGlueMatcher,
+    NearestNeighborMatcher,
     SuperGlueMatcher,
 )
 from icepy4d_tpu.matching.tiling import Tiler  # noqa: F401
+from icepy4d_tpu.matching.tracking import (  # noqa: F401
+    track_features,
+    track_matches,
+)

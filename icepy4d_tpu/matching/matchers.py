@@ -213,10 +213,30 @@ class ImageMatcherBase:
             img = rgb_to_gray(img)
         return img
 
+    @staticmethod
+    def _auto_chunk(n: int, bytes_per_item: float,
+                    budget: float = 2 << 30, cap: int = 32) -> int:
+        """Largest divisor of n whose chunk fits the activation budget."""
+        c = max(1, min(cap, n, int(budget // max(bytes_per_item, 1.0))))
+        while n % c:
+            c -= 1
+        return c
+
     def _extract(self, tiles: jnp.ndarray, max_keypoints: int) -> dict:
-        """SuperPoint over a (T, h, w) tile batch -> padded feature dict."""
+        """SuperPoint over a (T, h, w) tile batch -> padded feature dict.
+
+        Chunked over T so full-res tiles (first conv layer holds
+        h*w*64 floats per tile) never exceed the HBM activation budget;
+        chunk sizes divide T, so one compiled shape serves every chunk.
+        """
         sp = self._superpoint(max_keypoints)
-        return sp.extract(self._sp_params, tiles)
+        t, h, w = tiles.shape[:3]
+        chunk = self._auto_chunk(t, h * w * 64 * 4)
+        if chunk == t:
+            return sp.extract(self._sp_params, tiles)
+        outs = [sp.extract(self._sp_params, tiles[i:i + chunk])
+                for i in range(0, t, chunk)]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
 
     def _match_pair_batch(
         self,
@@ -249,7 +269,21 @@ class ImageMatcherBase:
         }
         data.update(self._matcher_data_extra(feats0, idx0, 0))
         data.update(self._matcher_data_extra(feats1, idx1, 1))
-        return self._run_matcher(data)
+
+        # chunk the pair batch so the (K+1)^2 assignment matrices stay
+        # inside the activation budget; bucket sizes are powers of two,
+        # so a power-of-two chunk always divides evenly
+        p = len(idx0)
+        k = int(data["kpts0"].shape[1])
+        chunk = self._auto_chunk(p, (k + 1) ** 2 * 4 * 4)
+        if chunk == p:
+            return self._run_matcher(data)
+        outs = [
+            self._run_matcher(
+                jax.tree.map(lambda a: a[i:i + chunk], data))
+            for i in range(0, p, chunk)
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
 
     @staticmethod
     def _assemble(
@@ -544,6 +578,45 @@ class LightGlueMatcher(ImageMatcherBase):
 
     def _run_matcher(self, data: dict) -> dict:
         return self.matcher.match(self._matcher_params, data)
+
+
+class NearestNeighborMatcher(ImageMatcherBase):
+    """SuperPoint + mutual-nearest-neighbor cosine matching.
+
+    Not in the reference (its cheapest path is SuperGlue); provided as a
+    deterministic classic baseline à la hloc's NN matcher. opt:
+    max_keypoints, ratio_threshold (Lowe ratio, default off), and
+    distance_threshold (min cosine similarity, default 0.7).
+    """
+
+    def _build_models(self, opt: dict) -> None:
+        self._sim_th = float(opt.get("distance_threshold", 0.7))
+        self._ratio_th = opt.get("ratio_threshold", None)
+        rng = jax.random.PRNGKey(int(opt.get("seed", 0)))
+        self._sp_params = self._init_sp_params(opt, rng)
+
+    @partial(jax.jit, static_argnums=0)
+    def _nn(self, d0, d1, mask0, mask1):
+        sim = jnp.einsum("bmd,bnd->bmn", d0, d1,
+                         preferred_element_type=jnp.float32)
+        neg = jnp.finfo(sim.dtype).min
+        sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, neg)
+        m0 = jnp.argmax(sim, axis=2)
+        m1 = jnp.argmax(sim, axis=1)
+        best = jnp.max(sim, axis=2)
+        inds = jnp.arange(sim.shape[1])[None]
+        mutual = inds == jnp.take_along_axis(m1, m0, 1)
+        ok = mutual & (best > self._sim_th) & mask0
+        if self._ratio_th is not None:
+            top2 = jax.lax.top_k(sim, 2)[0]
+            ok &= top2[..., 1] < float(self._ratio_th) * top2[..., 0]
+        return (jnp.where(ok, m0, -1).astype(jnp.int32),
+                jnp.where(ok, best, 0.0))
+
+    def _run_matcher(self, data: dict) -> dict:
+        matches0, scores0 = self._nn(
+            data["desc0"], data["desc1"], data["mask0"], data["mask1"])
+        return {"matches0": matches0, "mscores0": scores0}
 
 
 class SuperGlueMatcher(ImageMatcherBase):

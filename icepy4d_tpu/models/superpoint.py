@@ -156,21 +156,29 @@ class SuperPoint:
 
     @partial(jax.jit, static_argnums=0)
     def extract(self, params, images: Array) -> dict:
-        """images: (B, H, W) or (B, H, W, 1) grayscale in [0, 1]."""
+        """images: (B, H, W) or (B, H, W, 1) grayscale in [0, 1].
+
+        Arbitrary H, W: inputs are padded to the 8-px cell grid and the
+        padded band is masked out like a border.
+        """
         if images.ndim == 3:
             images = images[..., None]
+        b, h0, w0, _ = images.shape
+        ph, pw = (-h0) % 8, (-w0) % 8
+        if ph or pw:
+            images = jnp.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)))
         b, h, w, _ = images.shape
         heat, dense_desc = self.net.apply(params, images)
         heat = simple_nms(heat, self.nms_radius)
 
-        # border removal (ref superpoint.py:53-60)
-        r = self.remove_borders
-        if r > 0:
-            ys = jnp.arange(h)
-            xs = jnp.arange(w)
-            border = ((ys < r) | (ys >= h - r))[:, None] | \
-                     ((xs < r) | (xs >= w - r))[None, :]
-            heat = jnp.where(border[None], 0.0, heat)
+        # border removal (ref superpoint.py:53-60); original image edge
+        # (not the padded one) counts as the border
+        r = max(self.remove_borders, 1)
+        ys = jnp.arange(h)
+        xs = jnp.arange(w)
+        border = ((ys < r) | (ys >= h0 - r))[:, None] | \
+                 ((xs < r) | (xs >= w0 - r))[None, :]
+        heat = jnp.where(border[None], 0.0, heat)
 
         k = min(self.max_keypoints, h * w)
         flat = heat.reshape(b, -1)

@@ -11,6 +11,7 @@ import pytest
 from icepy4d_tpu.matching import (
     GeometricVerification,
     LightGlueMatcher,
+    NearestNeighborMatcher,
     Quality,
     SuperGlueMatcher,
     TileSelection,
@@ -97,9 +98,17 @@ def test_geometric_verification_none_method():
 
 @pytest.fixture(scope="module")
 def checker_pair():
-    """A translated random-texture pair: identical content shifted 8 px."""
+    """A translated textured pair: identical content shifted 8 px.
+
+    Band-limited texture (upsampled low-res noise) so the correspondence
+    survives pyramid downsampling, unlike white noise.
+    """
+    import cv2
+
     rng = np.random.default_rng(7)
-    base = (rng.uniform(size=(240, 328)) * 255).astype(np.uint8)
+    lo = rng.uniform(size=(30, 41)).astype(np.float32)
+    base = cv2.resize(lo, (328, 240), interpolation=cv2.INTER_CUBIC)
+    base = np.clip(base * 255, 0, 255).astype(np.uint8)
     img0 = base[:, :320]
     img1 = base[:, 8:]
     return img0, img1
@@ -107,7 +116,9 @@ def checker_pair():
 
 @pytest.fixture(scope="module")
 def lg():
-    return LightGlueMatcher({"max_keypoints": 512})
+    # deterministic NN backend: behavioral asserts (shift recovery) need
+    # meaningful matches, which random-weight learned matchers can't give
+    return NearestNeighborMatcher({"max_keypoints": 512})
 
 
 def test_lightglue_full_frame(lg, checker_pair):
@@ -122,9 +133,9 @@ def test_lightglue_full_frame(lg, checker_pair):
     assert lg.descriptors0.shape[1] == len(lg.mkpts0)
     assert len(lg.mconf) == len(lg.mkpts0)
     # identical texture shifted by 8 px: matched x-coords must differ by ~8
-    if len(lg.mkpts0) > 10:
-        dx = np.median(lg.mkpts0[:, 0] - lg.mkpts1[:, 0])
-        assert abs(dx - 8.0) < 1.0
+    assert len(lg.mkpts0) > 50
+    dx = np.median(lg.mkpts0[:, 0] - lg.mkpts1[:, 0])
+    assert abs(dx - 8.0) < 1.0
 
 
 def test_lightglue_grid_tiling(lg, checker_pair):
@@ -151,16 +162,37 @@ def test_lightglue_exhaustive_tiling_and_gv(lg, checker_pair):
     assert lg.mkpts0.shape == lg.mkpts1.shape
 
 
-def test_quality_rescaling_returns_original_coords(lg, checker_pair):
-    img0, img1 = checker_pair
+def test_quality_rescaling_returns_original_coords(lg):
+    # 16 px shift: still cell-aligned after MEDIUM's half-res downsample
+    # (random-weight descriptors only match exactly on aligned shifts)
+    import cv2
+
+    rng = np.random.default_rng(9)
+    lo = rng.uniform(size=(30, 42)).astype(np.float32)
+    base = np.clip(cv2.resize(lo, (336, 240),
+                              interpolation=cv2.INTER_CUBIC) * 255,
+                   0, 255).astype(np.uint8)
+    img0, img1 = base[:, :320], base[:, 16:]
     lg.match(img0, img1, quality=Quality.MEDIUM,
              tile_selection=TileSelection.NONE,
              geometric_verification=GeometricVerification.NONE)
-    if len(lg.mkpts0):
-        # medium = half-res matching, but outputs must be full-res pixels
-        assert lg.mkpts0[:, 0].max() > img0.shape[1] / 4
-        dx = np.median(lg.mkpts0[:, 0] - lg.mkpts1[:, 0])
-        assert abs(dx - 8.0) < 2.5
+    assert len(lg.mkpts0) > 20
+    # medium = half-res matching, but outputs must be full-res pixels
+    assert lg.mkpts0[:, 0].max() > img0.shape[1] / 4
+    dx = np.median(lg.mkpts0[:, 0] - lg.mkpts1[:, 0])
+    assert abs(dx - 16.0) < 2.5
+
+
+def test_lightglue_matcher_plumbing(checker_pair):
+    img0, img1 = checker_pair
+    m = LightGlueMatcher({"max_keypoints": 256, "n_layers": 2})
+    ok = m.match(img0, img1, quality=Quality.HIGH,
+                 tile_selection=TileSelection.NONE,
+                 geometric_verification=GeometricVerification.NONE)
+    assert ok
+    assert m.mkpts0.shape == m.mkpts1.shape
+    assert m.descriptors0.shape[0] == 256
+    assert len(m.mconf) == len(m.mkpts0)
 
 
 def test_superglue_matcher_full(checker_pair):
@@ -183,7 +215,7 @@ def test_preselection_on_real_images(assets_dir):
         pytest.skip("no sample images")
     img0 = cv2.imread(str(cam1[0]), cv2.IMREAD_GRAYSCALE)
     img1 = cv2.imread(str(cam2[0]), cv2.IMREAD_GRAYSCALE)
-    lgm = LightGlueMatcher({"max_keypoints": 512})
+    lgm = NearestNeighborMatcher({"max_keypoints": 512})
     ok = lgm.match(img0, img1, quality=Quality.LOW,
                    tile_selection=TileSelection.PRESELECTION,
                    grid=[2, 2], overlap=20,
