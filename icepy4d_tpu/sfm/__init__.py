@@ -19,3 +19,8 @@ from icepy4d_tpu.sfm.absolute_orientation import (  # noqa: F401
     SpaceResection,
     Space_resection,
 )
+from icepy4d_tpu.sfm.bundle import (  # noqa: F401
+    BAConfig,
+    BAOutput,
+    BundleAdjustment,
+)

@@ -1,0 +1,218 @@
+"""User-facing bundle adjustment — the native Metashape replacement.
+
+The reference exports the icepy4d solution to Bundler format, runs
+Agisoft Metashape (`MetashapeProject.run_full_workflow`,
+metashape/metashape.py:355-380: optimizeCameras with marker/camera
+accuracies), then reads refined cameras back (`MetashapeReader`,
+:388-507). `BundleAdjustment` keeps those semantics in-process:
+
+  ba = BundleAdjustment(cameras, features, points, targets_world=...,
+                        camera_centers=..., cfg=BAConfig(...))
+  result = ba.run()
+  result.cameras   # refined Camera objects
+  result.points    # refined (P, 3)
+
+Weights mirror the reference's Metashape config defaults
+(metashape/metashape.py:144-196 + config_2022.yaml 'metashape' block):
+tie-point projection sigma 1 px, marker projection sigma 0.5 px, marker
+location sigma 0.01 m (targets), camera center sigma per config.
+
+For float32 conditioning the problem is internally re-centered on the
+scene centroid (UTM-scale coordinates would otherwise eat the mantissa).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from icepy4d_tpu.core.camera import Camera
+from icepy4d_tpu.ops.ba import BAProblem, BAResult, lm_solve
+from icepy4d_tpu.ops.transforms import matrix_to_rodrigues, rodrigues_to_matrix
+
+
+@dataclass
+class BAConfig:
+    tie_point_sigma_px: float = 1.0      # Metashape tiepoint_accuracy
+    marker_projection_sigma_px: float = 0.5  # marker_projection_accuracy
+    marker_location_sigma_m: float = 0.01    # marker_location_accuracy
+    camera_center_sigma_m: float = 0.0       # 0 = no center priors
+    fix_cameras: list = field(default_factory=list)  # camera names
+    free_intrinsics: tuple = ()  # indices in [fx,fy,cx,cy,k1,k2,p1,p2,...]
+    fit_f: bool = False          # shortcut: free (fx, fy) like Metashape
+    max_iters: int = 100
+
+
+@dataclass
+class BAOutput:
+    cameras: dict
+    points: np.ndarray
+    cost: float
+    initial_cost: float
+    iterations: int
+    reprojection_rmse_px: float
+
+
+def _camera_to_theta(cam: Camera) -> np.ndarray:
+    R = np.asarray(cam.R)
+    t = np.asarray(cam.t).reshape(3)
+    rvec = np.asarray(matrix_to_rodrigues(jnp.asarray(R)))
+    return np.concatenate([rvec, t]).astype(np.float32)
+
+
+def _theta_to_extrinsics(theta: np.ndarray) -> np.ndarray:
+    R = np.asarray(rodrigues_to_matrix(jnp.asarray(theta[:3])))
+    E = np.eye(4, dtype=np.float32)
+    E[:3, :3] = R
+    E[:3, 3] = theta[3:6]
+    return E
+
+
+def _camera_to_intr(cam: Camera) -> np.ndarray:
+    K = np.asarray(cam.K)
+    d = np.asarray(cam.dist).reshape(-1)
+    return np.concatenate(
+        [[K[0, 0], K[1, 1], K[0, 2], K[1, 2]], d]).astype(np.float32)
+
+
+class BundleAdjustment:
+    """Build and solve a BA problem from the framework's core objects.
+
+    cameras: {name: Camera} with current (initial) extrinsics.
+    image_points: {name: (N, 2) array} tie-point observations, aligned by
+      row across cameras (row i = same 3D point, NaN = unseen).
+    points3d: (N, 3) initial triangulated points.
+    marker_image_points / marker_world: GCP observations + world coords
+      (optional); camera_centers: {name: (3,)} world centers (optional).
+    """
+
+    def __init__(
+        self,
+        cameras: dict,
+        image_points: dict,
+        points3d: np.ndarray,
+        marker_image_points: dict | None = None,
+        marker_world: np.ndarray | None = None,
+        camera_centers: dict | None = None,
+        cfg: BAConfig | None = None,
+    ):
+        self.cfg = cfg or BAConfig()
+        self.cam_names = list(cameras.keys())
+        self.cameras = cameras
+        self.image_points = image_points
+        self.points3d = np.asarray(points3d, np.float32)
+        self.marker_image_points = marker_image_points or {}
+        self.marker_world = (
+            None if marker_world is None
+            else np.asarray(marker_world, np.float32))
+        self.camera_centers = camera_centers or {}
+
+    def _assemble(self):
+        cfg = self.cfg
+        names = self.cam_names
+        c = len(names)
+        n_tie = self.points3d.shape[0]
+        n_mark = 0 if self.marker_world is None else len(self.marker_world)
+        p = n_tie + n_mark
+
+        obs_xy = np.zeros((p, c, 2), np.float32)
+        obs_w = np.zeros((p, c), np.float32)
+        for ci, name in enumerate(names):
+            xy = np.asarray(self.image_points[name], np.float32)
+            ok = np.isfinite(xy).all(axis=1)
+            obs_xy[:n_tie, ci] = np.where(ok[:, None], xy, 0.0)
+            obs_w[:n_tie, ci] = ok / cfg.tie_point_sigma_px
+            mk = self.marker_image_points.get(name)
+            if mk is not None and n_mark:
+                mk = np.asarray(mk, np.float32)
+                mok = np.isfinite(mk).all(axis=1)
+                obs_xy[n_tie:, ci] = np.where(mok[:, None], mk, 0.0)
+                obs_w[n_tie:, ci] = mok / cfg.marker_projection_sigma_px
+
+        pt_prior = np.zeros((p, 3), np.float32)
+        pt_prior_w = np.zeros((p,), np.float32)
+        pts0 = self.points3d
+        if n_mark:
+            pt_prior[n_tie:] = self.marker_world
+            pt_prior_w[n_tie:] = 1.0 / cfg.marker_location_sigma_m
+            pts0 = np.concatenate([pts0, self.marker_world], axis=0)
+
+        cam_prior = np.zeros((c, 3), np.float32)
+        cam_prior_w = np.zeros((c,), np.float32)
+        if cfg.camera_center_sigma_m > 0:
+            for ci, name in enumerate(names):
+                ctr = self.camera_centers.get(name)
+                if ctr is not None:
+                    cam_prior[ci] = np.asarray(ctr, np.float32).reshape(3)
+                    cam_prior_w[ci] = 1.0 / cfg.camera_center_sigma_m
+
+        cam_theta = np.stack(
+            [_camera_to_theta(self.cameras[n]) for n in names])
+        intr = np.stack([_camera_to_intr(self.cameras[n]) for n in names])
+        cam_fixed = np.array(
+            [n in cfg.fix_cameras for n in names], bool)
+
+        # re-center for f32 conditioning: shift world so centroid = 0
+        shift = pts0.mean(axis=0)
+        pts0 = pts0 - shift
+        pt_prior = pt_prior - shift  # weights of 0 make unused rows moot
+        cam_prior = cam_prior - shift
+        # extrinsics: t' = t + R @ shift
+        for ci in range(c):
+            R = np.asarray(
+                rodrigues_to_matrix(jnp.asarray(cam_theta[ci, :3])))
+            cam_theta[ci, 3:] = cam_theta[ci, 3:] + R @ shift
+
+        prob = BAProblem(
+            cam_theta=jnp.asarray(cam_theta),
+            intrinsics=jnp.asarray(intr),
+            points=jnp.asarray(pts0),
+            obs_xy=jnp.asarray(obs_xy),
+            obs_w=jnp.asarray(obs_w),
+            pt_prior=jnp.asarray(pt_prior),
+            pt_prior_w=jnp.asarray(pt_prior_w),
+            cam_prior=jnp.asarray(cam_prior),
+            cam_prior_w=jnp.asarray(cam_prior_w),
+            cam_fixed=jnp.asarray(cam_fixed),
+        )
+        return prob, shift, n_tie
+
+    def run(self) -> BAOutput:
+        cfg = self.cfg
+        free_intr = tuple(cfg.free_intrinsics)
+        if cfg.fit_f and not free_intr:
+            free_intr = (0, 1)
+        prob, shift, n_tie = self._assemble()
+        res: BAResult = lm_solve(
+            prob, free_intr=free_intr, max_iters=cfg.max_iters)
+
+        cam_theta = np.asarray(res.cam_theta)
+        intr = np.asarray(res.intrinsics)
+        cameras = {}
+        for ci, name in enumerate(self.cam_names):
+            th = cam_theta[ci].copy()
+            R = np.asarray(rodrigues_to_matrix(jnp.asarray(th[:3])))
+            th[3:] = th[3:] - R @ shift  # undo re-centering
+            K = np.array([[intr[ci, 0], 0, intr[ci, 2]],
+                          [0, intr[ci, 1], intr[ci, 3]],
+                          [0, 0, 1]], np.float32)
+            old = self.cameras[name]
+            cameras[name] = Camera.create(
+                width=old.width, height=old.height, K=K,
+                dist=intr[ci, 4:], extrinsics=_theta_to_extrinsics(th))
+
+        pts = np.asarray(res.points)[:n_tie] + shift
+
+        # final weighted RMSE over valid tie-point observations
+        n_obs = int(np.asarray(prob.obs_w > 0).sum())
+        rmse = float(np.sqrt(2.0 * float(res.cost) / max(n_obs, 1)))
+        return BAOutput(
+            cameras=cameras,
+            points=pts,
+            cost=float(res.cost),
+            initial_cost=float(res.initial_cost),
+            iterations=int(res.iterations),
+            reprojection_rmse_px=rmse,
+        )
