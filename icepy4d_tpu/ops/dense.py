@@ -1,0 +1,179 @@
+"""Plane-sweep dense stereo — replaces Metashape's depth-map pipeline.
+
+The reference delegates dense reconstruction to the closed-source
+Metashape engine (metashape/metashape.py:198-244 buildDepthMaps /
+buildDenseCloud). This module is the TPU-native equivalent:
+
+- Fronto-parallel plane sweep in the reference camera's frame: for each
+  depth hypothesis d, the secondary image is warped by the induced
+  homography H(d) = K1 (R - t nT / d) K0^-1 and scored against the
+  reference with windowed ZNCC (separable box-filter convs — all MXU/VPU
+  friendly; XLA fuses the warp+score chain).
+- The sweep STREAMS over depth planes with a lax.fori_loop carrying the
+  running best/second-best costs and the parabola neighbors, so memory
+  stays O(H*W) instead of O(H*W*D) — full-resolution 6000x4000 sweeps
+  fit easily in HBM.
+- Subpixel depth by parabolic refinement over inverse depth; validity by
+  cost threshold + uniqueness ratio (best vs second-best).
+
+Inputs are assumed undistorted (run ops.image.undistort_image upstream);
+planes are sampled uniformly in INVERSE depth, which equalizes disparity
+steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from icepy4d_tpu.ops.image import bilinear_sample
+
+Array = jax.Array
+
+
+def relative_motion(E0: Array, E1: Array) -> tuple[Array, Array]:
+    """R, t with x1 = R @ x0 + t from 4x4 world->cam extrinsics."""
+    R = E1[:3, :3] @ E0[:3, :3].T
+    t = E1[:3, 3] - R @ E0[:3, 3]
+    return R, t
+
+
+def plane_homography(K0: Array, K1: Array, R: Array, t: Array,
+                     depth: Array) -> Array:
+    """Homography mapping reference pixels to secondary pixels for the
+    fronto-parallel plane Z = depth in the reference frame."""
+    n = jnp.asarray([0.0, 0.0, 1.0])
+    H = K1 @ (R + jnp.outer(t, n) / depth) @ jnp.linalg.inv(K0)
+    return H
+
+
+def _box_filter(x: Array, w: int) -> Array:
+    """Separable (w x w) mean filter on (H, W)."""
+    k = jnp.ones((w,), x.dtype) / w
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "SAME")[0, 0]
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :], (1, 1), "SAME")[0, 0]
+    return x
+
+
+def _zncc_cost(I0: Array, I1w: Array, w: int, eps: float = 1e-6) -> Array:
+    """1 - ZNCC over (w x w) windows; in [0, 2], lower is better."""
+    m0 = _box_filter(I0, w)
+    m1 = _box_filter(I1w, w)
+    v0 = _box_filter(I0 * I0, w) - m0 * m0
+    v1 = _box_filter(I1w * I1w, w) - m1 * m1
+    cov = _box_filter(I0 * I1w, w) - m0 * m1
+    zncc = cov / jnp.sqrt(jnp.maximum(v0 * v1, eps))
+    return 1.0 - jnp.clip(zncc, -1.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("n_planes", "window"))
+def plane_sweep(
+    I0: Array,
+    I1: Array,
+    K0: Array,
+    K1: Array,
+    E0: Array,
+    E1: Array,
+    depth_min: float,
+    depth_max: float,
+    n_planes: int = 96,
+    window: int = 7,
+) -> dict:
+    """Sweep fronto-parallel planes; return per-pixel depth + validity.
+
+    I0, I1: (H, W) grayscale float (undistorted). Returns dict with
+    depth (H, W) [subpixel, in the reference frame], cost (H, W) best
+    1-ZNCC, uniqueness (H, W) best/second-best ratio, valid-sampling
+    mask (H, W) (warp landed inside I1 at the best plane).
+    """
+    h, w = I0.shape
+    R, t = relative_motion(E0, E1)
+    inv_d = jnp.linspace(1.0 / depth_max, 1.0 / depth_min, n_planes)
+
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1).astype(jnp.float32)
+
+    big = jnp.float32(2.0)  # max possible cost
+
+    def cost_at(k):
+        H = plane_homography(K0, K1, R, t, 1.0 / inv_d[k])
+        q = pix @ H.T
+        xy = q[..., :2] / jnp.where(jnp.abs(q[..., 2:]) < 1e-9, 1e-9,
+                                    q[..., 2:])
+        inb = ((xy[..., 0] >= 0) & (xy[..., 0] <= w - 1)
+               & (xy[..., 1] >= 0) & (xy[..., 1] <= h - 1))
+        I1w = bilinear_sample(I1, xy.reshape(-1, 2)).reshape(h, w)
+        c = _zncc_cost(I0, I1w, window)
+        return jnp.where(inb, c, big), inb
+
+    def body(k, carry):
+        (best, best_k, c_prev_of_best, c_next_of_best, prev_c, second,
+         best_inb) = carry
+        c, inb = cost_at(k)
+        is_new = c < best
+        # the plane right after the current best supplies the parabola's
+        # right neighbor
+        c_next_of_best = jnp.where(
+            (k == best_k + 1) & ~is_new, c, c_next_of_best)
+        second = jnp.where(is_new, best, jnp.minimum(second, c))
+        c_prev_of_best = jnp.where(is_new, prev_c, c_prev_of_best)
+        c_next_of_best = jnp.where(is_new, big, c_next_of_best)
+        best_k = jnp.where(is_new, k, best_k)
+        best = jnp.where(is_new, c, best)
+        best_inb = jnp.where(is_new, inb, best_inb)
+        return (best, best_k, c_prev_of_best, c_next_of_best, c, second,
+                best_inb)
+
+    init = (
+        jnp.full((h, w), big), jnp.full((h, w), -1, jnp.int32),
+        jnp.full((h, w), big), jnp.full((h, w), big),
+        jnp.full((h, w), big), jnp.full((h, w), big),
+        jnp.zeros((h, w), bool),
+    )
+    best, best_k, c_m, c_p, _, second, best_inb = jax.lax.fori_loop(
+        0, n_planes, body, init)
+
+    # parabolic subpixel over inverse depth
+    denom = c_m - 2.0 * best + c_p
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (c_m - c_p) / jnp.where(
+                          jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    # interior planes only (parabola needs both neighbors)
+    interior = (best_k > 0) & (best_k < n_planes - 1) & (c_m < big) \
+        & (c_p < big)
+    delta = jnp.where(interior, delta, 0.0)
+    step = (inv_d[-1] - inv_d[0]) / (n_planes - 1)
+    inv_best = inv_d[0] + (best_k.astype(jnp.float32) + delta) * step
+    depth = 1.0 / jnp.maximum(inv_best, 1e-9)
+
+    uniq = best / jnp.maximum(second, 1e-6)
+    return {
+        "depth": depth,
+        "cost": best,
+        "uniqueness": uniq,
+        "inbounds": best_inb & (best_k >= 0),
+    }
+
+
+@jax.jit
+def depth_to_points(depth: Array, K0: Array, E0: Array,
+                    mask: Array | None = None) -> tuple[Array, Array]:
+    """Unproject a reference-frame depth map to WORLD points.
+
+    Returns (points (H*W, 3), valid (H*W,)).
+    """
+    h, w = depth.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1).astype(jnp.float32)
+    rays = pix @ jnp.linalg.inv(K0).T                  # cam-frame dirs
+    Xc = rays * depth[..., None]
+    Rcw = E0[:3, :3].T
+    C = -Rcw @ E0[:3, 3]
+    Xw = Xc.reshape(-1, 3) @ Rcw.T + C
+    valid = jnp.ones((h * w,), bool) if mask is None else mask.reshape(-1)
+    return Xw, valid
