@@ -44,3 +44,12 @@ from icepy4d_tpu.core import (  # noqa: F401
     PointSet,
     Targets,
 )
+
+
+def __getattr__(name):
+    # lazy: Pipeline pulls the full matching/sfm stack; keep base import light
+    if name == "Pipeline":
+        from icepy4d_tpu.pipeline import Pipeline
+
+        return Pipeline
+    raise AttributeError(name)

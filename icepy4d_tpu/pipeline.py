@@ -1,0 +1,344 @@
+"""Multi-epoch 4D pipeline driver — the `main_dev.py` equivalent.
+
+Re-designs the reference's "Big Loop over epoches" (main_dev.py:54-431):
+per epoch: match -> store features -> relative orientation -> triangulate
+-> absolute orientation (targets) -> native bundle adjustment (replaces
+the Metashape round-trip, main_dev.py:330-364) -> re-triangulate -> save
+sparse cloud + epoch checkpoint -> CSV metric sinks. Temporal feature
+tracking (do_tracking) seeds each epoch with the previous epoch's
+features so track_ids persist (the "4D" core).
+
+Config schema follows the reference's YAML (config/config_2022.yaml);
+the `metashape` block is replaced by a `ba` block with the same accuracy
+semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from icepy4d_tpu.core import (Calibration, Epoch, Epoches, EpochDataMap,
+                              Features, Targets)
+from icepy4d_tpu.core.camera import Camera
+from icepy4d_tpu.core.points import Points
+from icepy4d_tpu.io.export2textfile import (write_cameras_to_file,
+                                            write_reprojection_error_to_file)
+from icepy4d_tpu.matching import (GeometricVerification, LightGlueMatcher,
+                                  NearestNeighborMatcher, Quality,
+                                  SuperGlueMatcher, TileSelection,
+                                  track_matches)
+from icepy4d_tpu.sfm import (AbsoluteOrientation, BAConfig,
+                             BundleAdjustment, RelativeOrientation,
+                             Triangulate)
+from icepy4d_tpu.utils.config import DotDict, parse_cfg
+from icepy4d_tpu.utils.timer import AverageTimer
+
+logger = logging.getLogger("icepy4d_tpu")
+
+MATCHERS = {
+    "lightglue": LightGlueMatcher,
+    "superglue": SuperGlueMatcher,
+    "nn": NearestNeighborMatcher,
+}
+
+
+class Pipeline:
+    """Config-driven 4D stereo pipeline.
+
+    Usage:
+        pipe = Pipeline("config.yaml")   # or a parsed DotDict
+        epoches = pipe.run()
+    """
+
+    def __init__(self, cfg) -> None:
+        if not isinstance(cfg, dict):
+            cfg = parse_cfg(cfg)
+        self.cfg = cfg
+        self.paths = cfg.paths
+        self.results_dir = Path(cfg.paths.results_dir)
+        self.results_dir.mkdir(parents=True, exist_ok=True)
+        self.epoch_map = EpochDataMap(
+            cfg.paths.image_dir,
+            time_tolerance_sec=int(cfg.get("proc", {}).get(
+                "time_tolerance_sec", 1200)),
+        )
+        self.cams = self.epoch_map.cameras
+        self.epoches = Epoches()
+        m_cfg = cfg.get("matching", DotDict())
+        name = str(m_cfg.get("matcher", "lightglue")).lower()
+        opt = dict(m_cfg.get("options", {}) or {})
+        if "max_keypoints" in m_cfg:
+            opt.setdefault("max_keypoints", int(m_cfg.max_keypoints))
+        self.matcher = MATCHERS[name](opt)
+        self._timer = AverageTimer()
+        # global track-id allocator: new matches draw fresh ids, tracked
+        # features keep theirs (ref set_last_track_id,
+        # matching_tracking.py:152-154)
+        self._next_track_id = 0
+
+    # -- per-epoch helpers ---------------------------------------------------
+
+    def _load_calibrations(self, image_shape) -> dict[str, Camera]:
+        """Per-camera Calibration -> Camera; K auto-rescales when the
+        images differ from the calibrated resolution (sample datasets
+        often ship downscaled imagery)."""
+        h, w = image_shape[:2]
+        cams = {}
+        for c in self.cams:
+            cal = Calibration(
+                Path(self.paths.calibration_dir) / f"{c}.txt")
+            cam = cal.to_camera()
+            if cam.width and cam.width != w:
+                s = w / cam.width
+                K = np.asarray(cam.K) * s
+                K[2, 2] = 1.0
+                cam = Camera.create(width=w, height=h, K=K,
+                                    dist=np.asarray(cam.dist))
+                logger.info("scaled %s intrinsics by %.4f to image size",
+                            c, s)
+            cams[c] = cam
+        return cams
+
+    def _load_targets(self, images) -> Targets | None:
+        g = self.cfg.get("georef", None)
+        if not g:
+            return None
+        tdir = Path(g.get("target_dir", ""))
+        if not tdir.is_absolute():
+            tdir = Path(self.paths.image_dir).parent / tdir
+        ext = g.get("target_file_ext", ".csv")
+        files = [tdir / f"{images[c].path.stem}{ext}" for c in self.cams]
+        world = tdir / g.get("target_world_file", "target_world.csv")
+        if not all(f.exists() for f in files) or not world.exists():
+            logger.warning("targets missing for this epoch — skipping AO")
+            return None
+        return Targets(im_file_path=files, obj_file_path=world)
+
+    def _initialize_epoch(self, ep: int) -> Epoch:
+        images = self.epoch_map.get_images(ep)
+        im0 = images[self.cams[0]].value
+        cameras = self._load_calibrations(im0.shape)
+        targets = self._load_targets(images)
+        ts = self.epoch_map.get_timestamp(ep)
+        return Epoch(
+            timestamp=ts,
+            images=images,
+            cameras=cameras,
+            features={c: Features() for c in self.cams},
+            points=Points(),
+            targets=targets,
+            epoch_dir=self.results_dir / "epochs" /
+            ts.strftime("%Y-%m-%d_%H-%M-%S"),
+        )
+
+    def _match_epoch(self, epoch: Epoch, prev: Epoch | None) -> bool:
+        cfg = self.cfg.get("matching", DotDict())
+        proc = self.cfg.get("proc", DotDict())
+        im0 = epoch.images[self.cams[0]].value
+        im1 = epoch.images[self.cams[1]].value
+
+        if prev is not None and bool(proc.get("do_tracking", False)) \
+                and all(len(prev.features[c]) for c in self.cams):
+            tracked = track_matches(
+                self.matcher, {c: prev.features[c] for c in self.cams},
+                {self.cams[0]: im0, self.cams[1]: im1},
+                grid=tuple(cfg.get("tracking_grid", (1, 1))),
+            )
+        else:
+            tracked = None
+
+        quality = Quality[str(cfg.get("quality", "high")).upper()]
+        tile = TileSelection[str(cfg.get("tile_selection",
+                                         "none")).upper()]
+        self.matcher.match(
+            im0, im1,
+            quality=quality,
+            tile_selection=tile,
+            grid=list(cfg.get("grid", [1, 1])),
+            overlap=int(cfg.get("overlap", 0)),
+            threshold=float(self.cfg.get("other", {}).get(
+                "pydegensac_threshold", 1.0)),
+            geometric_verification=GeometricVerification.PYDEGENSAC,
+        )
+        mk0, mk1 = self.matcher.mkpts0, self.matcher.mkpts1
+        if len(mk0) < 8:
+            logger.warning("epoch %s: only %d matches", epoch.date_str,
+                           len(mk0))
+        new_ids = np.arange(self._next_track_id,
+                            self._next_track_id + len(mk0), dtype=np.int32)
+        self._next_track_id += len(mk0)
+        for c, mk, d, s in (
+            (self.cams[0], mk0, self.matcher.descriptors0,
+             self.matcher.scores0),
+            (self.cams[1], mk1, self.matcher.descriptors1,
+             self.matcher.scores1),
+        ):
+            feats = Features()
+            feats.append_features_from_numpy(mk, descr=d, scores=s,
+                                             track_ids=new_ids)
+            epoch.features[c] = feats
+        if tracked is not None:
+            for c in self.cams:
+                f = epoch.features[c]
+                t = tracked[c]
+                f.append_features_from_numpy(
+                    t.kpts_to_numpy(), descr=t.descr_to_numpy(),
+                    scores=t.scores_to_numpy(),
+                    track_ids=t.track_ids_to_numpy())
+        return True
+
+    def _orient_epoch(self, epoch: Epoch) -> np.ndarray | None:
+        g = self.cfg.get("georef", DotDict())
+        cams = [epoch.cameras[c] for c in self.cams]
+        kpts = [epoch.features[c].kpts_to_numpy() for c in self.cams]
+        n = min(len(k) for k in kpts)
+        if n < 8:
+            return None
+        kpts = [k[:n] for k in kpts]
+
+        centers = g.get("camera_centers_world", None)
+        baseline = (float(np.linalg.norm(centers[0] - centers[1]))
+                    if centers is not None else None)
+        rel = RelativeOrientation(cams, kpts)
+        valid = rel.estimate_pose(
+            threshold=float(self.cfg.get("other", {}).get(
+                "pydegensac_threshold", 1.0)),
+            scale_factor=baseline)
+        epoch.cameras[self.cams[1]] = rel.cameras[1]
+        valid = np.asarray(valid, bool)
+        for c in self.cams:
+            epoch.features[c].filter_feature_by_mask(valid)
+        kpts = [k[valid] for k in kpts]
+
+        tri = Triangulate([epoch.cameras[c] for c in self.cams], kpts)
+        pts3d = tri.triangulate_two_views()
+
+        # absolute orientation on targets (do_coregistration)
+        if epoch.targets is not None and centers is not None:
+            labels = list(g.get("targets_to_use", []))
+            t_world, found = epoch.targets.get_object_coor_by_label(labels)
+            t_im = []
+            ok = len(found) >= 2
+            for i, c in enumerate(self.cams):
+                xy, f2 = epoch.targets.get_image_coor_by_label(found, i)
+                if len(f2) != len(found):
+                    ok = False
+                t_im.append(xy)
+            if ok:
+                abso = AbsoluteOrientation(
+                    tuple(epoch.cameras[c] for c in self.cams),
+                    points3d_final=t_world,
+                    image_points=tuple(t_im),
+                    camera_centers_world=tuple(
+                        np.asarray(cc) for cc in centers),
+                )
+                abso.estimate_transformation_linear(estimate_scale=True)
+                pts3d = abso.apply_transformation(points3d=pts3d)
+                for i, c in enumerate(self.cams):
+                    epoch.cameras[c] = abso.cameras[i]
+            else:
+                logger.warning("epoch %s: not enough targets for AO",
+                               epoch.date_str)
+        return np.asarray(pts3d)
+
+    def _bundle_epoch(self, epoch: Epoch, pts3d: np.ndarray) -> np.ndarray:
+        ba_cfg = self.cfg.get("ba", DotDict())
+        g = self.cfg.get("georef", DotDict())
+        obs = {c: epoch.features[c].kpts_to_numpy() for c in self.cams}
+        mobs, mworld = None, None
+        if epoch.targets is not None:
+            labels = list(g.get("targets_to_use", []))
+            mworld, found = epoch.targets.get_object_coor_by_label(labels)
+            if len(found):
+                mobs = {}
+                for i, c in enumerate(self.cams):
+                    xy, f2 = epoch.targets.get_image_coor_by_label(found, i)
+                    mobs[c] = xy if len(f2) == len(found) else None
+                if any(v is None for v in mobs.values()):
+                    mobs, mworld = None, None
+        centers = g.get("camera_centers_world", None)
+        cam_centers = ({c: np.asarray(centers[i])
+                        for i, c in enumerate(self.cams)}
+                       if centers is not None else {})
+        cfg = BAConfig(
+            tie_point_sigma_px=float(ba_cfg.get("tiepoint_accuracy", 1.0)),
+            marker_projection_sigma_px=float(
+                ba_cfg.get("marker_projection_accuracy", 0.5)),
+            marker_location_sigma_m=float(
+                ba_cfg.get("marker_location_accuracy", 0.01)),
+            camera_center_sigma_m=float(
+                ba_cfg.get("camera_location_accuracy", 0.5)),
+            fit_f=bool(ba_cfg.get("fit_f", True)),
+            max_iters=int(ba_cfg.get("max_iters", 60)),
+        )
+        ba = BundleAdjustment(
+            {c: epoch.cameras[c] for c in self.cams}, obs, pts3d,
+            marker_image_points=mobs, marker_world=mworld,
+            camera_centers=cam_centers, cfg=cfg)
+        out = ba.run()
+        logger.info("epoch %s BA: rmse %.3f px in %d iters",
+                    epoch.date_str, out.reprojection_rmse_px,
+                    out.iterations)
+        for c in self.cams:
+            epoch.cameras[c] = out.cameras[c]
+        return out.points
+
+    # -- main loop -------------------------------------------------------------
+
+    def process_epoch(self, ep: int, prev: Epoch | None = None) -> Epoch:
+        proc = self.cfg.get("proc", DotDict())
+        epoch = self._initialize_epoch(ep)
+        pkl = epoch.epoch_dir / f"{epoch.date_str}.pickle"
+        if bool(proc.get("load_existing_results", False)) and pkl.exists():
+            try:
+                loaded = Epoch.read_pickle(pkl)
+                logger.info("epoch %s loaded from checkpoint",
+                            epoch.date_str)
+                return loaded
+            except Exception as e:  # corrupted checkpoint -> rebuild
+                logger.warning("re-processing epoch %s: %s",
+                               epoch.date_str, e)
+
+        self._match_epoch(epoch, prev)
+        pts3d = self._orient_epoch(epoch)
+        if pts3d is not None and bool(proc.get("do_ba", True)):
+            pts3d = self._bundle_epoch(epoch, pts3d)
+        if pts3d is not None:
+            feats0 = epoch.features[self.cams[0]]
+            pts_obj = Points()
+            pts_obj.append_points_from_numpy(
+                pts3d,
+                track_ids=feats0.track_ids_to_numpy()[:len(pts3d)])
+            epoch.points = pts_obj
+            # CSV sinks (ref main_dev.py:424-427)
+            write_reprojection_error_to_file(
+                self.results_dir / "residuals_image.csv", epoch.date_str,
+                {c: epoch.cameras[c] for c in self.cams}, pts3d,
+                {c: epoch.features[c].kpts_to_numpy()[:len(pts3d)]
+                 for c in self.cams})
+            write_cameras_to_file(
+                self.results_dir / "estimated_cameras.csv",
+                epoch.date_str, {c: epoch.cameras[c] for c in self.cams})
+        if bool(proc.get("save_checkpoints", True)):
+            epoch.epoch_dir.mkdir(parents=True, exist_ok=True)
+            epoch.save_pickle(pkl)
+        return epoch
+
+    def run(self) -> Epoches:
+        proc = self.cfg.get("proc", DotDict())
+        todo = proc.get("epoch_to_process", "all")
+        if todo == "all" or todo is None:
+            todo = list(range(len(self.epoch_map)))
+        prev = None
+        for ep in todo:
+            if ep >= len(self.epoch_map):
+                break
+            logger.info("=== Epoch %d / %d ===", ep, len(todo))
+            epoch = self.process_epoch(ep, prev)
+            self.epoches.add_epoch(epoch, ep)
+            prev = epoch
+            self._timer.update(f"epoch_{ep}")
+        return self.epoches

@@ -1,0 +1,88 @@
+"""End-to-end pipeline test on the real reference assets.
+
+Uses the deterministic NN matcher (no checkpoints offline) at LOW quality
+so the whole multi-epoch loop (matching -> orientation -> triangulation ->
+absolute orientation -> BA -> checkpoints -> CSV sinks) runs in CI.
+"""
+
+import numpy as np
+import pytest
+
+from icepy4d_tpu.utils.config import DotDict
+
+
+@pytest.fixture(scope="module")
+def cfg(assets_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("pipeline")
+    return DotDict.wrap({
+        "paths": {
+            "image_dir": str(assets_dir / "img"),
+            "calibration_dir": str(assets_dir / "calib"),
+            "results_dir": str(out),
+        },
+        "proc": {
+            "epoch_to_process": [0, 1],
+            "do_tracking": True,
+            "do_ba": True,
+            "save_checkpoints": True,
+            "load_existing_results": False,
+        },
+        "georef": {
+            "camera_centers_world": np.array(
+                [[151.962, 99.065, 91.643],
+                 [309.261, 301.051, 135.008]], np.float32),
+            "target_dir": str(assets_dir / "targets"),
+            "target_file_ext": ".csv",
+            "target_world_file": "target_world.csv",
+            "targets_to_use": ["F2", "F12", "F13"],
+        },
+        "other": {"pydegensac_threshold": 2.0},
+        "matching": {
+            "matcher": "nn",
+            "quality": "low",
+            "tile_selection": "none",
+            "max_keypoints": 1024,
+        },
+        "ba": {"camera_location_accuracy": 0.5, "fit_f": False,
+               "max_iters": 30},
+    })
+
+
+def test_pipeline_runs_epochs(cfg):
+    from icepy4d_tpu import Pipeline
+
+    pipe = Pipeline(cfg)
+    epoches = pipe.run()
+    assert len(epoches) == 2
+    for i in range(2):
+        ep = epoches[i]
+        # features stored for both cameras with aligned track ids
+        ids0 = ep.features["cam1"].track_ids_to_numpy()
+        ids1 = ep.features["cam2"].track_ids_to_numpy()
+        assert len(ids0) == len(ids1)
+        np.testing.assert_array_equal(ids0, ids1)
+    # epochs checkpointed + CSV sinks written
+    from pathlib import Path
+
+    res = Path(cfg.paths.results_dir)
+    pickles = list(res.glob("epochs/*/*.pickle"))
+    assert len(pickles) == 2
+    # resume from checkpoints
+    cfg.proc.load_existing_results = True
+    pipe2 = Pipeline(cfg)
+    epoches2 = pipe2.run()
+    assert len(epoches2) == 2
+
+
+def test_pipeline_track_ids_are_globally_unique(cfg):
+    from icepy4d_tpu import Pipeline
+
+    cfg.proc.load_existing_results = False
+    pipe = Pipeline(cfg)
+    epoches = pipe.run()
+    all_ids = [set(epoches[i].features["cam1"].track_ids_to_numpy(
+        ).tolist()) for i in range(2)]
+    # tracked ids may be shared across epochs (that's the point); but a
+    # FRESH id allocated in epoch 1 must not collide with epoch 0's
+    fresh1 = all_ids[1] - all_ids[0]
+    assert not (fresh1 & all_ids[0])
