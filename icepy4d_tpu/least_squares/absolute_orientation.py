@@ -1,0 +1,67 @@
+"""7-parameter Helmert similarity: residuals + LS estimation.
+
+Mirrors ref least_squares/absolute_orientation.py:9-147 (lmfit): params
+(rx, ry, rz, tx, ty, tz, m) -> T = [m*R | t]; weighted residuals
+x1 - T(x0); estimation via the jitted Gauss-Newton refiner in
+ops/transforms (replaces lmfit.minimize).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from icepy4d_tpu.ops import transforms as tf
+
+
+def get_T_from_params(params: np.ndarray) -> np.ndarray:
+    """(rx, ry, rz, tx, ty, tz, m) -> 4x4 similarity transform
+    (ref :9-29)."""
+    return np.asarray(
+        tf.helmert_params_to_matrix(jnp.asarray(params, jnp.float32)))
+
+
+def compute_residuals(
+    params: np.ndarray,
+    x0: np.ndarray,
+    x1: np.ndarray,
+    weights: np.ndarray | None = None,
+) -> np.ndarray:
+    """Flattened weighted residuals x1 - T(x0) (ref :31-77)."""
+    r = np.asarray(
+        tf.helmert_residuals(
+            jnp.asarray(params, jnp.float32),
+            jnp.asarray(x0, jnp.float32),
+            jnp.asarray(x1, jnp.float32),
+            None if weights is None else jnp.asarray(weights, jnp.float32),
+        ))
+    return r.reshape(-1)
+
+
+def estimate_similarity_least_squares(
+    x0: np.ndarray,
+    x1: np.ndarray,
+    weights: np.ndarray | None = None,
+    T0: np.ndarray | None = None,
+) -> tuple[np.ndarray, dict]:
+    """Estimate T with x1 ~= T(x0). Linear Umeyama init + GN refinement.
+
+    Returns (T (4, 4), report dict with rmse/residuals)."""
+    x0 = np.asarray(x0, np.float64)
+    x1 = np.asarray(x1, np.float64)
+    if T0 is None:
+        T0 = np.asarray(
+            tf.similarity_from_points(jnp.asarray(x0, jnp.float32),
+                                      jnp.asarray(x1, jnp.float32),
+                                      with_scale=True))
+    T = np.asarray(
+        tf.refine_similarity_gauss_newton(
+            jnp.asarray(T0, jnp.float32),
+            jnp.asarray(x0, jnp.float32),
+            jnp.asarray(x1, jnp.float32),
+            weights=None if weights is None
+            else jnp.asarray(weights, jnp.float32),
+        ))
+    res = x1 - (x0 @ T[:3, :3].T + T[:3, 3])
+    rmse = float(np.sqrt(np.mean(np.sum(res ** 2, axis=1))))
+    return T, {"rmse": rmse, "residuals": res}

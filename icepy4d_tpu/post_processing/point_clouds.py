@@ -1,0 +1,130 @@
+"""Point-cloud post-processing implementations.
+
+Ref post_processing/open3d_fun.py:37-341: polyline crop, cloud merge,
+Poisson meshing. open3d is optional here; everything else is numpy.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from icepy4d_tpu.io.ply import read_ply, write_ply
+
+logger = logging.getLogger("icepy4d_tpu")
+
+
+def _points_in_polygon(points_2d: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd rule point-in-polygon test."""
+    x = points_2d[:, 0][:, None]
+    y = points_2d[:, 1][:, None]
+    x0, y0 = poly[:, 0][None], poly[:, 1][None]
+    x1 = np.roll(poly[:, 0], -1)[None]
+    y1 = np.roll(poly[:, 1], -1)[None]
+    cond = (y0 <= y) != (y1 <= y)
+    denom = np.where(y1 - y0 == 0, 1e-300, y1 - y0)
+    xint = x0 + (y - y0) * (x1 - x0) / denom
+    return (np.sum(cond & (x < xint), axis=1) % 2).astype(bool)
+
+
+def filter_pcd_by_polyline(
+    points: np.ndarray,
+    polyline: np.ndarray,
+    dir: str = "x-y",
+    keep_inside: bool = True,
+) -> np.ndarray:
+    """Boolean mask of 3-D points whose projection along `dir`
+    ('x-y' | 'x-z' | 'y-z') falls inside the 2-D polyline
+    (ref open3d_fun.py:37-120, crop by polygon)."""
+    points = np.asarray(points)
+    axes = {"x-y": (0, 1), "x-z": (0, 2), "y-z": (1, 2)}[dir]
+    inside = _points_in_polygon(points[:, axes], np.asarray(polyline))
+    return inside if keep_inside else ~inside
+
+
+def read_and_merge_point_clouds(paths: list) -> tuple[np.ndarray,
+                                                      np.ndarray | None]:
+    """Concatenate PLY clouds (ref open3d_fun.py:123-160)."""
+    pts, cols = [], []
+    for p in paths:
+        xyz, rgb = read_ply(Path(p))
+        pts.append(xyz)
+        cols.append(rgb)
+    points = np.concatenate(pts, axis=0)
+    colors = (np.concatenate([c for c in cols], axis=0)
+              if all(c is not None for c in cols) else None)
+    return points, colors
+
+
+def mesh_from_dsm_grid(dsm) -> tuple[np.ndarray, np.ndarray]:
+    """Triangulate a DSM grid into a mesh (vertices, faces).
+
+    Self-contained meshing for 2.5-D surfaces (the glacier use case) —
+    replaces Poisson meshing when open3d is unavailable."""
+    z = dsm.z
+    h, w = z.shape
+    gx, gy = np.meshgrid(dsm.xx, dsm.yy)
+    verts = np.stack([gx.ravel(), gy.ravel(),
+                      np.nan_to_num(z).ravel()], -1)
+    valid = dsm.mask
+    faces = []
+    idx = np.arange(h * w).reshape(h, w)
+    v00 = idx[:-1, :-1].ravel()
+    v01 = idx[:-1, 1:].ravel()
+    v10 = idx[1:, :-1].ravel()
+    v11 = idx[1:, 1:].ravel()
+    ok = (valid[:-1, :-1] & valid[:-1, 1:] & valid[1:, :-1]
+          & valid[1:, 1:]).ravel()
+    faces = np.concatenate([
+        np.stack([v00[ok], v01[ok], v11[ok]], -1),
+        np.stack([v00[ok], v11[ok], v10[ok]], -1),
+    ])
+    return verts, faces
+
+
+def meshing_poisson(
+    points: np.ndarray,
+    colors: np.ndarray | None = None,
+    depth: int = 9,
+    density_quantile: float = 0.02,
+    out_path=None,
+):
+    """Poisson surface reconstruction via open3d when available
+    (ref open3d_fun.py:200-341 MeshingPoisson); raises otherwise —
+    use mesh_from_dsm_grid for the self-contained 2.5-D path."""
+    try:
+        import open3d as o3d
+    except ImportError as e:
+        raise ImportError(
+            "open3d not available: use mesh_from_dsm_grid for 2.5-D "
+            "meshing") from e
+    pcd = o3d.geometry.PointCloud(
+        o3d.utility.Vector3dVector(np.asarray(points, np.float64)))
+    if colors is not None:
+        pcd.colors = o3d.utility.Vector3dVector(
+            np.asarray(colors, np.float64))
+    pcd.estimate_normals()
+    mesh, dens = o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(
+        pcd, depth=depth)
+    keep = np.asarray(dens) > np.quantile(np.asarray(dens),
+                                          density_quantile)
+    mesh.remove_vertices_by_mask(~keep)
+    if out_path is not None:
+        o3d.io.write_triangle_mesh(str(out_path), mesh)
+    return mesh
+
+
+def write_mesh_ply(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    """ASCII PLY mesh writer (self-contained)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]:.4f} {v[1]:.4f} {v[2]:.4f}\n")
+        for tri in faces:
+            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")

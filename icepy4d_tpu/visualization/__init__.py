@@ -1,0 +1,21 @@
+"""Visualization (ref src/icepy4d/visualization/visualization.py).
+
+Matplotlib/cv2 plotting of keypoints, matches, epipolar geometry,
+reprojections, point clouds (mpl 3-D fallback — open3d is optional) and
+camera-parameter time series.
+"""
+
+from icepy4d_tpu.visualization.visualization import (  # noqa: F401
+    display_point_cloud,
+    draw_epip_lines,
+    make_camera_pyramid,
+    plot_camera_time_series,
+    plot_features,
+    plot_image_pair,
+    plot_keypoints,
+    plot_matches,
+    plot_matches_cv2,
+    plot_points,
+    plot_projection_error,
+    plot_projections,
+)
