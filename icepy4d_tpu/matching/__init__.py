@@ -16,8 +16,14 @@ from icepy4d_tpu.matching.matchers import (  # noqa: F401
     FeaturesBase,
     ImageMatcherBase,
     LightGlueMatcher,
+    LOFTRMatcher,
     NearestNeighborMatcher,
+    SemiDenseMatcher,
     SuperGlueMatcher,
+)
+from icepy4d_tpu.matching.templatematch import (  # noqa: F401
+    MatchResult,
+    TemplateMatch,
 )
 from icepy4d_tpu.matching.tiling import Tiler  # noqa: F401
 from icepy4d_tpu.matching.tracking import (  # noqa: F401

@@ -619,6 +619,71 @@ class NearestNeighborMatcher(ImageMatcherBase):
         return {"matches0": matches0, "mscores0": scores0}
 
 
+@partial(jax.jit, static_argnames=("net", "pool"))
+def _dense_grid(net, params, tiles: jnp.ndarray, pool: int) -> dict:
+    """Grid tokens from SuperPoint's dense descriptor map: keypoints at
+    (8*pool)-px cell centers, L2-normalized pooled descriptors."""
+    imgs = tiles[..., None] if tiles.ndim == 3 else tiles
+    b, h, w = imgs.shape[:3]
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        imgs = jnp.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    _, dense = net.apply(params, imgs)        # (B, H/8, W/8, D)
+    if pool > 1:
+        dense = jax.lax.reduce_window(
+            dense, 0.0, jax.lax.add, (1, pool, pool, 1),
+            (1, pool, pool, 1), "VALID") / (pool * pool)
+    d = dense / jnp.maximum(
+        jnp.linalg.norm(dense, axis=-1, keepdims=True), 1e-12)
+    gh, gw = d.shape[1:3]
+    stride = 8 * pool
+    ys, xs = jnp.mgrid[0:gh, 0:gw]
+    kpts = jnp.stack([xs * stride + stride / 2 - 0.5,
+                      ys * stride + stride / 2 - 0.5],
+                     -1).astype(jnp.float32)
+    valid = (kpts[..., 0] < w) & (kpts[..., 1] < h)
+    k = gh * gw
+    return {
+        "keypoints": jnp.broadcast_to(kpts.reshape(1, k, 2), (b, k, 2)),
+        "descriptors": d.reshape(b, k, -1),
+        "scores": jnp.ones((b, k), jnp.float32),
+        "mask": jnp.broadcast_to(valid.reshape(1, k), (b, k)),
+    }
+
+
+class SemiDenseMatcher(NearestNeighborMatcher):
+    """Detector-free semi-dense matcher — fills the reference's
+    LOFTRMatcher role (matchers.py:1005-1199) with a TPU-native design:
+    every grid cell of SuperPoint's dense descriptor map is a token (no
+    detection step), tokens are matched by mutual-NN cosine, and the
+    standard tiling/GV pipeline applies. Grid stride = 8 * pool
+    (opt "grid_pool", default 2 -> 16 px cells).
+
+    Like LoFTR it returns keypoints without descriptoral sparsity —
+    useful on weak-texture surfaces (snow/ice) where detectors starve.
+    """
+
+    def _build_models(self, opt: dict) -> None:
+        super()._build_models(opt)
+        self._grid_pool = int(opt.get("grid_pool", 2))
+        self._sim_th = float(opt.get("distance_threshold", 0.8))
+
+    def _extract(self, tiles: jnp.ndarray, max_keypoints: int) -> dict:
+        sp = self._superpoint(max_keypoints)
+        t, h, w = tiles.shape[:3]
+        chunk = self._auto_chunk(t, h * w * 64 * 4)
+        outs = [_dense_grid(sp.net, self._sp_params, tiles[i:i + chunk],
+                            self._grid_pool)
+                for i in range(0, t, chunk)]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+
+
+# capability-parity alias: the reference exposes LOFTRMatcher for
+# detector-free matching (matchers.py:1005); the algorithm here is our
+# grid-token design, not the LoFTR architecture.
+LOFTRMatcher = SemiDenseMatcher
+
+
 class SuperGlueMatcher(ImageMatcherBase):
     """SuperPoint + SuperGlue (ref matchers.py:826-1002).
 

@@ -254,3 +254,40 @@ def test_visualization_smoke(tmp_path):
     display_point_cloud(pts, path=tmp_path / "pc.png")
     for f in ("m.png", "m2.png", "e.png", "pc.png"):
         assert (tmp_path / f).exists()
+
+
+def test_homography_warping_stabilizes_rotation():
+    from icepy4d_tpu.utils.homography import (homography_from_cameras,
+                                              warp_image_to_reference,
+                                              smooth_euler_angles)
+    from icepy4d_tpu.ops.transforms import euler_matrix
+    import jax.numpy as jnp
+
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]],
+                 np.float32)
+    cam_ref = Camera.create(width=320, height=240, K=K)
+    # camera rotated by 3 degrees about y
+    E = np.eye(4, dtype=np.float32)
+    E[:3, :3] = np.asarray(euler_matrix(jnp.asarray(0.0),
+                                        jnp.asarray(np.deg2rad(3.0)),
+                                        jnp.asarray(0.0)))
+    cam_rot = Camera.create(width=320, height=240, K=K, extrinsics=E)
+
+    H = homography_from_cameras(cam_ref, cam_rot)
+    assert H.shape == (3, 3) and abs(H[2, 2] - 1) < 1e-6
+
+    # render a synthetic rotated view of a textured plane and unwarp it
+    rng = np.random.default_rng(0)
+    import cv2
+
+    lo = rng.uniform(size=(30, 40)).astype(np.float32)
+    base = cv2.resize(lo, (320, 240), interpolation=cv2.INTER_CUBIC)
+    rotated = cv2.warpPerspective(base, np.linalg.inv(H), (320, 240))
+    unwarped = warp_image_to_reference(rotated, cam_rot, cam_ref)
+    inner = (slice(40, 200), slice(60, 260))
+    err = np.abs(unwarped[inner] - base[inner])
+    assert np.median(err) < 0.03
+
+    ang = np.array([[0, 0, 0], [0, 10, 0], [0, 0, 0]], float)
+    sm = smooth_euler_angles(ang, window=1)
+    assert sm[1, 1] == 0.0  # spike removed by median

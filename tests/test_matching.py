@@ -221,3 +221,18 @@ def test_preselection_on_real_images(assets_dir):
                    grid=[2, 2], overlap=20,
                    geometric_verification=GeometricVerification.NONE)
     assert ok  # random weights: just exercise the full preselection path
+
+
+def test_semidense_matcher_recovers_shift(checker_pair):
+    from icepy4d_tpu.matching import SemiDenseMatcher
+
+    img0, img1 = checker_pair
+    m = SemiDenseMatcher({"grid_pool": 1, "distance_threshold": 0.5})
+    ok = m.match(img0, img1, quality=Quality.HIGH,
+                 tile_selection=TileSelection.NONE,
+                 geometric_verification=GeometricVerification.NONE)
+    assert ok
+    # detector-free: dense coverage, far more matches than max_keypoints
+    assert len(m.mkpts0) > 300
+    dx = np.median(m.mkpts0[:, 0] - m.mkpts1[:, 0])
+    assert abs(dx - 8.0) < 1.0  # 8 px = one grid cell at pool=1
