@@ -170,6 +170,23 @@ class ImageDS:
             p for p in self.folder.iterdir() if p.suffix.lower() in exts
         )
         self._images = [Image(p) for p in self.files]
+        self._prescan_exif()
+
+    def _prescan_exif(self) -> None:
+        """Batch-timestamp the whole datastore with the native threaded
+        EXIF scanner (one call for the season instead of the reference's
+        per-image python parse loop, ref core/images.py:592-609)."""
+        try:
+            from icepy4d_tpu.native import exif_scan_batch, native_available
+
+            if not native_available() or not self.files:
+                return
+            dts, _ = exif_scan_batch(self.files)
+            for im, dt in zip(self._images, dts):
+                if dt is not None:
+                    im._datetime = dt
+        except Exception:  # never let the fast path break loading
+            pass
 
     def __len__(self) -> int:
         return len(self._images)
