@@ -193,12 +193,14 @@ class ImageMatcherBase:
             max_keypoints,
             float(self._opt.get("keypoint_threshold", 0.0005)),
             int(self._opt.get("nms_radius", 4)),
+            str(self._opt.get("precision", "default")),
         )
         if key not in self._sp_cache:
             self._sp_cache[key] = SuperPoint(
                 max_keypoints=key[0],
                 detection_threshold=key[1],
                 nms_radius=key[2],
+                precision=key[3],
             )
         return self._sp_cache[key]
 
@@ -286,7 +288,47 @@ class ImageMatcherBase:
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
 
     @staticmethod
+    @partial(jax.jit, static_argnames=("cap",))
+    def _compact_on_device(
+        feats0: dict,
+        feats1: dict,
+        out: dict,
+        idx0,
+        idx1,
+        origins0,
+        origins1,
+        cap: int,
+    ):
+        """Gather the top-`cap` matches per pair ON DEVICE.
+
+        Only matched rows cross the host boundary — transferring the
+        full (T, K, 256) descriptor tensors dominates wall time on
+        remote-TPU links.
+        """
+        m0 = out["matches0"]                      # (P, K)
+        conf = out["mscores0"]
+        valid = m0 > -1
+        score = jnp.where(valid, conf, -1.0)
+        topv, topi = jax.lax.top_k(score, cap)    # (P, C)
+        sel = topv > -0.5
+        j = jnp.take_along_axis(jnp.maximum(m0, 0), topi, 1)
+
+        def side(feats, idx, org, pick):
+            k = feats["keypoints"][idx]
+            d = feats["descriptors"][idx]
+            s = feats["scores"][idx]
+            mk = jnp.take_along_axis(k, pick[..., None], 1) \
+                + org[idx][:, None, :]
+            return (mk,
+                    jnp.take_along_axis(d, pick[..., None], 1),
+                    jnp.take_along_axis(s, pick, 1))
+
+        mk0, d0, s0 = side(feats0, idx0, origins0, topi)
+        mk1, d1, s1 = side(feats1, idx1, origins1, j)
+        return mk0, mk1, d0, d1, s0, s1, topv, sel
+
     def _assemble(
+        self,
         feats0: dict,
         feats1: dict,
         out: dict,
@@ -295,36 +337,25 @@ class ImageMatcherBase:
         origins0: np.ndarray,
         origins1: np.ndarray,
     ):
-        """Flatten a batched match result to host-side matched arrays."""
-        m0 = np.asarray(out["matches0"])          # (P, K)
-        conf = np.asarray(out["mscores0"])        # (P, K)
-        kpts0 = np.asarray(feats0["keypoints"])   # (T0, K, 2)
-        kpts1 = np.asarray(feats1["keypoints"])
-        desc0 = np.asarray(feats0["descriptors"])  # (T0, K, D)
-        desc1 = np.asarray(feats1["descriptors"])
-        sc0 = np.asarray(feats0["scores"])
-        sc1 = np.asarray(feats1["scores"])
+        """Batched match result -> host matched arrays (valid rows only).
 
-        rows = []
-        for p in range(m0.shape[0]):
-            valid = m0[p] > -1
-            if not valid.any():
-                continue
-            j = m0[p][valid]
-            t0, t1 = idx0[p], idx1[p]
-            mk0 = kpts0[t0][valid] + origins0[t0]
-            mk1 = kpts1[t1][j] + origins1[t1]
-            rows.append((
-                mk0, mk1, desc0[t0][valid], desc1[t1][j],
-                sc0[t0][valid], sc1[t1][j], conf[p][valid],
-            ))
-        if not rows:
-            z2 = np.empty((0, 2), np.float32)
-            zd = np.empty((0, desc0.shape[-1]), np.float32)
-            z = np.empty((0,), np.float32)
-            return z2, z2, zd, zd, z, z, z
-        cat = [np.concatenate(x, 0) for x in zip(*rows)]
-        return tuple(cat)
+        The compaction cap adapts to the ACTUAL max match count per pair
+        (rounded to a power of two, so jit caches stay small) — with few
+        matches almost nothing crosses the host link."""
+        k = int(out["matches0"].shape[1])
+        # tiny transfer first: how many matches per pair?
+        n_max = int(jnp.max(jnp.sum(out["matches0"] > -1, axis=1)))
+        cap = min(k, int(self._opt.get("max_matches_per_pair", 4096)),
+                  _round_up_pow2(max(n_max, 1)))
+        mk0, mk1, d0, d1, s0, s1, conf, sel = self._compact_on_device(
+            feats0, feats1, out,
+            jnp.asarray(idx0), jnp.asarray(idx1),
+            jnp.asarray(origins0, jnp.float32),
+            jnp.asarray(origins1, jnp.float32), cap)
+        sel = np.asarray(sel).reshape(-1)
+        flat = lambda a: np.asarray(a).reshape((-1,) + a.shape[2:])[sel]
+        return (flat(mk0), flat(mk1), flat(d0), flat(d1),
+                flat(s0), flat(s1), flat(conf))
 
     @staticmethod
     def _dedup(mk0, mk1, d0, d1, s0, s1, conf):

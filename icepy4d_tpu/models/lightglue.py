@@ -226,12 +226,16 @@ class LightGlue:
         descriptor_dim: int = 256,
         input_dim: int = 256,
         filter_threshold: float = 0.1,
+        precision: str = "default",
     ):
         self.n_layers = n_layers
         self.num_heads = num_heads
         self.descriptor_dim = descriptor_dim
         self.input_dim = input_dim
         self.filter_threshold = float(filter_threshold)
+        # "default" = single-pass bf16 MXU matmuls; parity tests use
+        # "highest" to match the torch f32 oracle
+        self.precision = precision
 
     # -- initialization ----------------------------------------------------
     def init(self, rng=0) -> dict:
@@ -279,6 +283,10 @@ class LightGlue:
     # -- forward -----------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def match(self, params: dict, data: dict) -> dict:
+        with jax.default_matmul_precision(self.precision):
+            return self._match(params, data)
+
+    def _match(self, params: dict, data: dict) -> dict:
         kpts0 = normalize_keypoints(data["kpts0"], data.get("size0"))
         kpts1 = normalize_keypoints(data["kpts1"], data.get("size1"))
         mask0 = data["mask0"]

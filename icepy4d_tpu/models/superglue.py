@@ -162,7 +162,9 @@ class SuperGlue:
         num_heads: int = 4,
         sinkhorn_iterations: int = 100,
         match_threshold: float = 0.2,
+        precision: str = "default",
     ):
+        self.precision = precision
         self.descriptor_dim = descriptor_dim
         self.kenc_channels = [3, *keypoint_encoder, descriptor_dim]
         self.gnn_layers = gnn_layers  # alternating self/cross
@@ -212,6 +214,10 @@ class SuperGlue:
 
     @partial(jax.jit, static_argnums=0)
     def match(self, params: dict, data: dict) -> dict:
+        with jax.default_matmul_precision(self.precision):
+            return self._match(params, data)
+
+    def _match(self, params: dict, data: dict) -> dict:
         mask0, mask1 = data["mask0"], data["mask1"]
         kn0 = normalize_keypoints(data["kpts0"], data["size0"])
         kn1 = normalize_keypoints(data["kpts1"], data["size1"])

@@ -140,12 +140,16 @@ class SuperPoint:
         remove_borders: int = 4,
         descriptor_dim: int = 256,
         dtype: jnp.dtype = jnp.float32,
+        precision: str = "default",
     ):
         self.max_keypoints = int(max_keypoints)
         self.detection_threshold = float(detection_threshold)
         self.nms_radius = int(nms_radius)
         self.remove_borders = int(remove_borders)
         self.descriptor_dim = int(descriptor_dim)
+        # "default" = single-pass bf16 MXU matmuls/convs (fast path);
+        # parity tests construct with "highest" to match torch f32
+        self.precision = precision
         self.net = SuperPointNet(descriptor_dim=descriptor_dim, dtype=dtype)
 
     def init(self, rng, h: int = 64, w: int = 64):
@@ -161,6 +165,10 @@ class SuperPoint:
         Arbitrary H, W: inputs are padded to the 8-px cell grid and the
         padded band is masked out like a border.
         """
+        with jax.default_matmul_precision(self.precision):
+            return self._extract(params, images)
+
+    def _extract(self, params, images: Array) -> dict:
         if images.ndim == 3:
             images = images[..., None]
         b, h0, w0, _ = images.shape

@@ -52,7 +52,7 @@ def _jax_match(torch_lg, pair, pad=0):
     params = convert.lightglue_params_from_torch(torch_lg.state_dict())
     kpts0, d0, kpts1, d1 = pair
     m, n = len(kpts0), len(kpts1)
-    lg = LightGlue()
+    lg = LightGlue(precision="highest")
 
     def padded(x, rows):
         return np.concatenate([x, np.ones((rows, x.shape[1]), x.dtype)])

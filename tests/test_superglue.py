@@ -52,7 +52,7 @@ def _jax_match(torch_sg, pair, pad=0):
     params = convert.superglue_params_from_torch(torch_sg.state_dict())
     kpts0, d0, s0, kpts1, d1, s1 = pair
     m, n = len(kpts0), len(kpts1)
-    sg = SuperGlue(sinkhorn_iterations=20)
+    sg = SuperGlue(sinkhorn_iterations=20, precision="highest")
 
     def padr(x, rows):
         pad_shape = (rows,) + x.shape[1:]

@@ -48,7 +48,7 @@ def image():
 
 def test_dense_outputs_match(torch_sp, image):
     params = convert.superpoint_params_from_torch(torch_sp.state_dict())
-    sp = SuperPoint(max_keypoints=512)
+    sp = SuperPoint(max_keypoints=512, precision="highest")
 
     heat, desc = sp.net.apply(params, jnp.asarray(image)[None, ..., None])
 
@@ -79,7 +79,7 @@ def test_dense_outputs_match(torch_sp, image):
 
 def test_keypoints_match_torch_pipeline(torch_sp, image):
     params = convert.superpoint_params_from_torch(torch_sp.state_dict())
-    sp = SuperPoint(max_keypoints=2048)
+    sp = SuperPoint(max_keypoints=2048, precision="highest")
     out = sp.extract(params, jnp.asarray(image)[None])
 
     with torch.no_grad():
@@ -118,7 +118,7 @@ def test_simple_nms_isolates_maxima():
 
 
 def test_static_shapes_and_jit_cache():
-    sp = SuperPoint(max_keypoints=128)
+    sp = SuperPoint(max_keypoints=128, precision="highest")
     params = sp.init(jax.random.PRNGKey(1), 64, 64)
     batch = jnp.zeros((3, 64, 64))
     out = sp.extract(params, batch)
