@@ -513,9 +513,19 @@ class ImageMatcherBase:
         confidence = config.get("confidence", 0.9999)
         save_dir = config.get("save_dir", None)
 
+        def host_gray(im):
+            # grayscale on host before upload: RGB uint8 would cost 3x
+            # the host->device bytes (the bottleneck on remote links)
+            if isinstance(im, np.ndarray) and im.ndim == 3 \
+                    and im.dtype == np.uint8:
+                import cv2
+
+                return cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
+            return im
+
         qname = QUALITY_NAMES[quality]
-        g0 = _preprocess(jnp.asarray(image0), qname)
-        g1 = _preprocess(jnp.asarray(image1), qname)
+        g0 = _preprocess(jnp.asarray(host_gray(image0)), qname)
+        g1 = _preprocess(jnp.asarray(host_gray(image1)), qname)
 
         if tile_selection is TileSelection.NONE:
             res = self._match_full(g0, g1)

@@ -327,6 +327,78 @@ class Pipeline:
             epoch.save_pickle(pkl)
         return epoch
 
+    def run_batched(self, mesh=None, tp: int = 1) -> Epoches:
+        """Mesh-parallel season processing: the matching stage of MANY
+        epochs runs as ONE sharded XLA program (data axis = epochs, model
+        axis = matcher tensor parallel); orientation/BA/sinks follow per
+        epoch on host. Replaces the reference's strictly sequential epoch
+        loop (main_dev.py:60) with DP over ICI.
+
+        Requires a learned matcher (lightglue/superglue — the batched
+        step drives the model directly).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from icepy4d_tpu.matching.matchers import _preprocess
+        from icepy4d_tpu.parallel import make_mesh, make_sharded_match_step
+
+        if not hasattr(self.matcher, "matcher"):
+            raise ValueError("run_batched requires lightglue/superglue")
+        mesh = mesh or make_mesh(tp=tp)
+        b = mesh.shape["data"]
+
+        proc = self.cfg.get("proc", DotDict())
+        m_cfg = self.cfg.get("matching", DotDict())
+        qname = str(m_cfg.get("quality", "low")).lower()
+        todo = proc.get("epoch_to_process", "all")
+        if todo == "all" or todo is None:
+            todo = list(range(len(self.epoch_map)))
+        todo = [e for e in todo if e < len(self.epoch_map)]
+
+        sp = self.matcher._superpoint(self.matcher._max_keypoints)
+        step = make_sharded_match_step(mesh, sp, self.matcher.matcher)
+
+        epochs = [self._initialize_epoch(ep) for ep in todo]
+        K0 = jnp.asarray(epochs[0].cameras[self.cams[0]].K)
+        K1 = jnp.asarray(epochs[0].cameras[self.cams[1]].K)
+
+        for g0 in range(0, len(todo), b):
+            group = list(range(g0, min(g0 + b, len(todo))))
+            pad = group + [group[-1]] * (b - len(group))
+            ims0 = jnp.stack([
+                _preprocess(jnp.asarray(
+                    epochs[i].images[self.cams[0]].value), qname)
+                for i in pad])
+            ims1 = jnp.stack([
+                _preprocess(jnp.asarray(
+                    epochs[i].images[self.cams[1]].value), qname)
+                for i in pad])
+            out = step(self.matcher._sp_params,
+                       self.matcher._matcher_params, ims0, ims1, K0, K1)
+            out = jax.tree.map(np.asarray, out)
+            scale = {"highest": 2.0, "high": 1.0, "medium": 0.5,
+                     "low": 0.25}[qname]
+            for j, i in enumerate(group):
+                epoch = epochs[i]
+                valid = out["valid"][j]
+                mk0 = out["mkpts0"][j][valid] / scale
+                mk1 = out["mkpts1"][j][valid] / scale
+                ids = np.arange(self._next_track_id,
+                                self._next_track_id + len(mk0),
+                                dtype=np.int32)
+                self._next_track_id += len(mk0)
+                for c, mk in ((self.cams[0], mk0), (self.cams[1], mk1)):
+                    feats = Features()
+                    feats.append_features_from_numpy(mk, track_ids=ids)
+                    epoch.features[c] = feats
+                pts3d = self._orient_epoch(epoch)
+                if pts3d is not None and bool(proc.get("do_ba", True)):
+                    pts3d = self._bundle_epoch(epoch, pts3d)
+                self.epoches.add_epoch(epoch, todo[i])
+            logger.info("batched group %s done", [todo[i] for i in group])
+        return self.epoches
+
     def run(self) -> Epoches:
         proc = self.cfg.get("proc", DotDict())
         todo = proc.get("epoch_to_process", "all")

@@ -86,3 +86,31 @@ def test_pipeline_track_ids_are_globally_unique(cfg):
     # FRESH id allocated in epoch 1 must not collide with epoch 0's
     fresh1 = all_ids[1] - all_ids[0]
     assert not (fresh1 & all_ids[0])
+
+
+def test_pipeline_run_batched_on_mesh(cfg):
+    """Mesh-parallel season: matching for all epochs in ONE sharded
+    program over a (data=4, model=2) virtual mesh."""
+    import copy
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.parallel import make_mesh
+
+    bcfg = copy.deepcopy(dict(cfg))
+    from icepy4d_tpu.utils.config import DotDict
+
+    bcfg = DotDict.wrap(bcfg)
+    bcfg.proc.epoch_to_process = [0, 1, 2, 3]
+    bcfg.proc.save_checkpoints = False
+    bcfg.matching.matcher = "lightglue"
+    bcfg.matching.options = {"n_layers": 2, "max_keypoints": 256,
+                             "filter_threshold": 0.0}
+    pipe = Pipeline(bcfg)
+    mesh = make_mesh(8, tp=2)
+    epoches = pipe.run_batched(mesh=mesh)
+    assert len(epoches) == 4
+    for i in range(4):
+        ep = epoches[i]
+        ids0 = ep.features["cam1"].track_ids_to_numpy()
+        ids1 = ep.features["cam2"].track_ids_to_numpy()
+        np.testing.assert_array_equal(ids0, ids1)
