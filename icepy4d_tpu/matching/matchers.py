@@ -459,6 +459,8 @@ class ImageMatcherBase:
 
         pairs = self._select_tile_pairs(
             img0, img1, tiler0, tiler1, tile_selection, min_matches_per_tile)
+        if hasattr(self, "timer"):
+            self.timer.update("preselection")
         if not pairs:
             logger.warning("No tile pairs selected — no matches")
             z2 = np.empty((0, 2), np.float32)
@@ -506,6 +508,9 @@ class ImageMatcherBase:
         resize -> (full | tiled) matching -> rescale keypoints ->
         geometric verification -> inlier filtering.
         """
+        from icepy4d_tpu.utils.timer import AverageTimer
+
+        self.timer = AverageTimer()
         self._reset()
         gv_method = config.get(
             "geometric_verification", GeometricVerification.PYDEGENSAC)
@@ -554,6 +559,7 @@ class ImageMatcherBase:
         self._scores1 = np.asarray(s1, np.float32)
         self._mconf = np.asarray(conf, np.float32)
         logger.info("Found %d putative matches", len(self._mconf))
+        self.timer.update("matching")
 
         if gv_method is not GeometricVerification.NONE:
             F, mask = geometric_verification(
@@ -563,9 +569,11 @@ class ImageMatcherBase:
             self._F = F
             self._inlier_mask = mask
             self._filter_matches_by_mask(mask)
+            self.timer.update("geometric_verification")
 
         if save_dir is not None:
             self.save_mkpts_as_txt(save_dir)
+        self.timer.print("Matching")
         return True
 
     def _filter_matches_by_mask(self, mask: np.ndarray) -> None:
