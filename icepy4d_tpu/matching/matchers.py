@@ -140,10 +140,11 @@ class ImageMatcherBase:
     # -- public results ------------------------------------------------------
 
     def _reset(self) -> None:
+        d = self.descriptor_dim
         self._mkpts0 = np.empty((0, 2), np.float32)
         self._mkpts1 = np.empty((0, 2), np.float32)
-        self._descriptors0 = np.empty((256, 0), np.float32)
-        self._descriptors1 = np.empty((256, 0), np.float32)
+        self._descriptors0 = np.empty((d, 0), np.float32)
+        self._descriptors1 = np.empty((d, 0), np.float32)
         self._scores0 = np.empty((0,), np.float32)
         self._scores1 = np.empty((0,), np.float32)
         self._mconf = np.empty((0,), np.float32)
@@ -188,21 +189,39 @@ class ImageMatcherBase:
 
     # -- building blocks -----------------------------------------------------
 
-    def _superpoint(self, max_keypoints: int) -> SuperPoint:
+    def _superpoint(self, max_keypoints: int):
+        """Local-feature extractor (SuperPoint default; opt
+        extractor='disk' swaps in the 128-d DISK U-Net)."""
+        kind = str(self._opt.get("extractor", "superpoint")).lower()
         key = (
+            kind,
             max_keypoints,
             float(self._opt.get("keypoint_threshold", 0.0005)),
             int(self._opt.get("nms_radius", 4)),
             str(self._opt.get("precision", "default")),
         )
         if key not in self._sp_cache:
-            self._sp_cache[key] = SuperPoint(
-                max_keypoints=key[0],
-                detection_threshold=key[1],
-                nms_radius=key[2],
-                precision=key[3],
-            )
+            if kind == "disk":
+                from icepy4d_tpu.models.disk import DISK
+
+                self._sp_cache[key] = DISK(
+                    max_keypoints=key[1],
+                    detection_threshold=key[2],
+                    nms_radius=max(key[3] // 2, 2),
+                )
+            else:
+                self._sp_cache[key] = SuperPoint(
+                    max_keypoints=key[1],
+                    detection_threshold=key[2],
+                    nms_radius=key[3],
+                    precision=key[4],
+                )
         return self._sp_cache[key]
+
+    @property
+    def descriptor_dim(self) -> int:
+        return 128 if str(self._opt.get(
+            "extractor", "superpoint")).lower() == "disk" else 256
 
     @staticmethod
     def _to_gray_device(image: np.ndarray) -> jnp.ndarray:
@@ -610,6 +629,7 @@ class LightGlueMatcher(ImageMatcherBase):
         self.matcher = LightGlue(
             n_layers=int(opt.get("n_layers", 9)),
             filter_threshold=float(opt.get("filter_threshold", 0.1)),
+            input_dim=self.descriptor_dim,
         )
         rng = jax.random.PRNGKey(int(opt.get("seed", 0)))
         self._sp_params = self._init_sp_params(opt, rng)

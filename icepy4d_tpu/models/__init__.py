@@ -19,3 +19,4 @@ try:  # present once the matcher models land
     from icepy4d_tpu.models.superglue import SuperGlue, superglue_init  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+from icepy4d_tpu.models.disk import DISK, disk_init  # noqa: F401
