@@ -91,5 +91,23 @@ class PointCloud:
     def write_ply(self, path) -> None:
         write_ply(path, self.points, self.colors)
 
+    def write_las(self, path) -> None:
+        """LAS export (ref core/point_cloud.py write_las); requires the
+        optional laspy dependency."""
+        try:
+            import laspy
+        except ImportError as e:
+            raise ImportError(
+                "laspy not available — use write_ply instead") from e
+        header = laspy.LasHeader(point_format=2)
+        las = laspy.LasData(header)
+        las.x = self.points[:, 0]
+        las.y = self.points[:, 1]
+        las.z = self.points[:, 2]
+        if self.colors is not None:
+            c = (np.asarray(self.colors) * 65535).astype(np.uint16)
+            las.red, las.green, las.blue = c[:, 0], c[:, 1], c[:, 2]
+        las.write(str(path))
+
     # Reference name (core/point_cloud.py) — alias.
     save = write_ply
