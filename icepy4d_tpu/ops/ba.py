@@ -270,3 +270,23 @@ def lm_solve(
     cam_theta, intr = unpack(theta)
     return BAResult(cam_theta=cam_theta, intrinsics=intr, points=points,
                     cost=cost, initial_cost=cost0, iterations=it, lam=lam)
+
+
+def lm_solve_batched(
+    probs: BAProblem,
+    free_intr: tuple = (),
+    max_iters: int = 50,
+    lam0: float = 1e-3,
+    rtol: float = 1e-8,
+) -> BAResult:
+    """Solve a BATCH of bundle adjustments in one program.
+
+    `probs` is a BAProblem whose every leaf carries a leading batch dim
+    (stack per-epoch problems with jax.tree.map) — the whole season's
+    BAs run as one vmapped LM program, sharding over a mesh data axis
+    like any other batch. Epochs must share P and C (pad observations
+    with zero weights).
+    """
+    fn = partial(lm_solve, free_intr=free_intr, max_iters=max_iters,
+                 lam0=lam0, rtol=rtol)
+    return jax.vmap(fn)(probs)

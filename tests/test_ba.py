@@ -246,3 +246,28 @@ def test_bundle_adjustment_class_stereo_with_markers(calib_file):
     # points land near ground truth
     err = np.linalg.norm(out.points - pts, axis=1)
     assert np.median(err) < 0.25
+
+
+def test_lm_solve_batched_season():
+    """A whole 'season' of BA problems as ONE vmapped LM program."""
+    import jax
+
+    from icepy4d_tpu.ops.ba import lm_solve_batched
+
+    probs = []
+    for seed in range(4):
+        cam_theta, intr, pts, obs = _make_scene(seed=seed, noise_px=0.2)
+        rng = np.random.default_rng(seed + 10)
+        pts_noisy = pts + rng.normal(0, 0.04, pts.shape).astype(np.float32)
+        probs.append(_problem(
+            cam_theta, intr, pts_noisy, obs,
+            cam_fixed=jnp.asarray([True, True, False])))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    res = lm_solve_batched(batched, max_iters=40)
+    assert res.cost.shape == (4,)
+    for i in range(4):
+        assert float(res.cost[i]) < float(res.initial_cost[i])
+    # every epoch reaches its ~0.2 px noise floor
+    single = [_rmse_px(jax.tree.map(lambda a: a[i], res), probs[i])
+              for i in range(4)]
+    assert max(single) < 0.4
