@@ -98,6 +98,16 @@ class DISK:
         self.descriptor_dim = int(descriptor_dim)
         self.net = DISKNet(descriptor_dim=descriptor_dim)
 
+    def _key(self):
+        return (type(self), self.max_keypoints, self.nms_radius,
+                self.detection_threshold, self.descriptor_dim)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, DISK) and self._key() == other._key()
+
     def init(self, rng, h: int = 64, w: int = 64):
         return jax.jit(self.net.init)(
             rng, jnp.zeros((1, h, w, 1), jnp.float32))

@@ -237,6 +237,17 @@ class LightGlue:
         # "highest" to match the torch f32 oracle
         self.precision = precision
 
+    def _key(self):
+        return (type(self), self.n_layers, self.num_heads,
+                self.descriptor_dim, self.input_dim,
+                self.filter_threshold, self.precision)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, LightGlue) and self._key() == other._key()
+
     # -- initialization ----------------------------------------------------
     def init(self, rng=0) -> dict:
         """Random init. Host-side numpy RNG: eager per-param device ops are

@@ -172,6 +172,17 @@ class SuperGlue:
         self.sinkhorn_iterations = sinkhorn_iterations
         self.match_threshold = float(match_threshold)
 
+    def _key(self):
+        return (type(self), self.descriptor_dim, tuple(self.kenc_channels),
+                self.gnn_layers, self.num_heads, self.sinkhorn_iterations,
+                self.match_threshold, self.precision)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, SuperGlue) and self._key() == other._key()
+
     def init(self, rng=0) -> dict:
         """Random init via host numpy (see LightGlue.init for why)."""
         d = self.descriptor_dim

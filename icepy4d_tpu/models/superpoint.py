@@ -152,6 +152,19 @@ class SuperPoint:
         self.precision = precision
         self.net = SuperPointNet(descriptor_dim=descriptor_dim, dtype=dtype)
 
+    # hash/eq by configuration: jit caches (self is a static argnum)
+    # survive across instances with the same settings
+    def _key(self):
+        return (type(self), self.max_keypoints, self.detection_threshold,
+                self.nms_radius, self.remove_borders,
+                self.descriptor_dim, self.precision)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, SuperPoint) and self._key() == other._key()
+
     def init(self, rng, h: int = 64, w: int = 64):
         # jit the whole init: eagerly it dispatches hundreds of tiny ops,
         # which is very slow over a remote-TPU tunnel
