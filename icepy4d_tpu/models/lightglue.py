@@ -104,7 +104,8 @@ def _sdpa(q: Array, k: Array, v: Array, kmask: Array) -> Array:
     return masked_attention(q, k, v, kmask)
 
 
-def self_block(p: dict, x: Array, enc: tuple, mask: Array, num_heads: int) -> Array:
+def self_block(p: dict, x: Array, enc: tuple, mask: Array, num_heads: int,
+               attn=None) -> Array:
     b, n, d = x.shape
     hd = d // num_heads
     qkv = _linear(p["Wqkv"], x)  # (B, N, 3D)
@@ -114,13 +115,14 @@ def self_block(p: dict, x: Array, enc: tuple, mask: Array, num_heads: int) -> Ar
     cos, sin = enc
     q = _apply_rotary(q, cos, sin)
     k = _apply_rotary(k, cos, sin)
-    ctx = _sdpa(q, k, v, mask)
+    ctx = (attn or _sdpa)(q, k, v, mask)
     message = _linear(p["out"], ctx.transpose(0, 2, 1, 3).reshape(b, n, d))
     return _ffn(p["ffn"], x, message)
 
 
 def cross_block(
-    p: dict, x0: Array, x1: Array, mask0: Array, mask1: Array, num_heads: int
+    p: dict, x0: Array, x1: Array, mask0: Array, mask1: Array,
+    num_heads: int, attn=None,
 ) -> tuple[Array, Array]:
     b, n0, d = x0.shape
     n1 = x1.shape[1]
@@ -133,8 +135,8 @@ def cross_block(
     qk1 = heads(_linear(p["to_qk"], x1))
     v0 = heads(_linear(p["to_v"], x0))
     v1 = heads(_linear(p["to_v"], x1))
-    m0 = _sdpa(qk0, qk1, v1, mask1)
-    m1 = _sdpa(qk1, qk0, v0, mask0)
+    m0 = (attn or _sdpa)(qk0, qk1, v1, mask1)
+    m1 = (attn or _sdpa)(qk1, qk0, v0, mask0)
     m0 = _linear(p["out"], m0.transpose(0, 2, 1, 3).reshape(b, n0, d))
     m1 = _linear(p["out"], m1.transpose(0, 2, 1, 3).reshape(b, n1, d))
     return _ffn(p["ffn"], x0, m0), _ffn(p["ffn"], x1, m1)

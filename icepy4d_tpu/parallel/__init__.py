@@ -17,3 +17,6 @@ from icepy4d_tpu.parallel.epoch_step import (  # noqa: F401
 from icepy4d_tpu.parallel.ring_attention import (  # noqa: F401
     make_ring_attention,
 )
+from icepy4d_tpu.parallel.lightglue_sp import (  # noqa: F401
+    make_sequence_parallel_lightglue,
+)

@@ -85,3 +85,42 @@ def test_shard_and_replicate_helpers():
     np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
     p = replicate(mesh, {"w": jnp.ones((3, 3))})
     np.testing.assert_allclose(np.asarray(p["w"]), 1.0)
+
+
+def test_sequence_parallel_lightglue_matches_dense():
+    """Token-sharded LightGlue == dense LightGlue (matches + scores)."""
+    from icepy4d_tpu.models.lightglue import LightGlue
+    from icepy4d_tpu.parallel import make_sequence_parallel_lightglue
+
+    mesh = make_mesh(8, dp=1, tp=8, axis_names=("data", "seq"))
+    lg = LightGlue(n_layers=2, filter_threshold=0.0, precision="highest")
+    params = lg.init(0)
+    sp_lg = make_sequence_parallel_lightglue(mesh, lg, axis="seq")
+
+    rng = np.random.default_rng(3)
+    b, n = 2, 128
+    data = {}
+    for s in (0, 1):
+        kpts = rng.uniform(0, [640, 480], (b, n, 2)).astype(np.float32)
+        d = rng.normal(size=(b, n, 256)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        mask = rng.uniform(size=(b, n)) > 0.2
+        data[f"kpts{s}"] = jnp.asarray(kpts)
+        data[f"desc{s}"] = jnp.asarray(d)
+        data[f"mask{s}"] = jnp.asarray(mask)
+        data[f"size{s}"] = jnp.broadcast_to(
+            jnp.asarray([640.0, 480.0]), (b, 2))
+
+    dense = lg.match(params, data)
+    sp = sp_lg(params, data)
+
+    m0_d = np.asarray(dense["matches0"])
+    m0_s = np.asarray(sp["matches0"])
+    agree = (m0_d == m0_s).mean()
+    assert agree > 0.99, f"matches0 agreement {agree}"
+    np.testing.assert_array_equal(np.asarray(dense["matches1"]),
+                                  np.asarray(sp["matches1"]))
+    ok = m0_d > -1
+    np.testing.assert_allclose(np.asarray(sp["mscores0"])[ok],
+                               np.asarray(dense["mscores0"])[ok],
+                               rtol=1e-3, atol=1e-5)
