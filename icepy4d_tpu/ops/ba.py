@@ -100,36 +100,60 @@ def _pt_prior_resid(X: Array, prior: Array, w: Array) -> Array:
     return (X - prior) * w
 
 
-def _build_cost(prob: BAProblem):
+def _huber_rho(sq_norm: Array, delta: float) -> Array:
+    """Huber loss on a SQUARED residual norm (per observation)."""
+    n = jnp.sqrt(jnp.maximum(sq_norm, 1e-24))
+    return jnp.where(n <= delta, sq_norm,
+                     2.0 * delta * n - delta ** 2)
+
+
+def _huber_irls_weight(sq_norm: Array, delta: float) -> Array:
+    """sqrt(rho'(r)) IRLS factor: 1 inside the inlier band, delta/|r|
+    outside — multiplies residuals AND Jacobians (Triggs et al. §4)."""
+    n = jnp.sqrt(jnp.maximum(sq_norm, 1e-24))
+    return jnp.sqrt(jnp.minimum(1.0, delta / n))
+
+
+def _build_cost(prob: BAProblem, robust_delta: float | None = None):
     def cost_fn(cam_theta, intrinsics, points):
         r_obs = jax.vmap(
             lambda X, xyc, wc: jax.vmap(
                 _project_resid, in_axes=(0, None, 0, 0, 0, None)
             )(cam_theta, X, intrinsics, xyc, wc, ())
         )(points, prob.obs_xy, prob.obs_w)
+        if robust_delta is None:
+            obs_cost = jnp.sum(r_obs ** 2)
+        else:
+            obs_cost = jnp.sum(_huber_rho(jnp.sum(r_obs ** 2, -1),
+                                          robust_delta))
         r_cc = jax.vmap(_center_resid)(cam_theta, prob.cam_prior,
                                        prob.cam_prior_w)
         r_pt = jax.vmap(_pt_prior_resid)(points, prob.pt_prior,
                                          prob.pt_prior_w)
-        return 0.5 * (jnp.sum(r_obs ** 2) + jnp.sum(r_cc ** 2)
-                      + jnp.sum(r_pt ** 2))
+        return 0.5 * (obs_cost + jnp.sum(r_cc ** 2) + jnp.sum(r_pt ** 2))
 
     return cost_fn
 
 
-@partial(jax.jit, static_argnames=("free_intr", "max_iters"))
+@partial(jax.jit, static_argnames=("free_intr", "max_iters",
+                                   "robust_delta"))
 def lm_solve(
     prob: BAProblem,
     free_intr: tuple = (),
     max_iters: int = 50,
     lam0: float = 1e-3,
     rtol: float = 1e-8,
+    robust_delta: float | None = None,
 ) -> BAResult:
     """Run LM until convergence/max_iters. One fully-jitted program.
 
     free_intr: static tuple of indices into the 12-entry intrinsic
     vector to refine per camera (e.g. (0, 1) = fx, fy — Metashape's
     default optimizeCameras(fit_f=True), metashape.py:195-196).
+    robust_delta: Huber inlier band in weighted-residual units (sigma);
+    None = pure least squares. Outlier observations are IRLS-downweighted
+    in every normal-equation build (residuals and Jacobians scaled by
+    sqrt(rho')).
     """
     c = prob.cam_theta.shape[0]
     p = prob.points.shape[0]
@@ -149,7 +173,7 @@ def lm_solve(
             intr = intr.at[:, jnp.asarray(free_intr)].set(theta[:, 6:])
         return cam_theta, intr
 
-    cost_fn = _build_cost(prob)
+    cost_fn = _build_cost(prob, robust_delta)
 
     jac_obs = jax.jacfwd(_project_resid, argnums=(0, 1))
     jac_cc = jax.jacfwd(_center_resid, argnums=0)
@@ -174,6 +198,12 @@ def lm_solve(
 
         r_obs, J_t, J_x = jax.vmap(per_point)(
             points, prob.obs_xy, prob.obs_w)
+        if robust_delta is not None:
+            rw = _huber_irls_weight(jnp.sum(r_obs ** 2, -1),
+                                    robust_delta)      # (P, C)
+            r_obs = r_obs * rw[..., None]
+            J_t = J_t * rw[..., None, None]
+            J_x = J_x * rw[..., None, None]
         # blocks
         U = jnp.einsum("pcib,pcid->cbd", J_t, J_t)           # (C, B, B)
         V = jnp.einsum("pcib,pcid->pbd", J_x, J_x)           # (P, 3, 3)
@@ -199,12 +229,16 @@ def lm_solve(
                                          prob.pt_prior_w)
         g_x = g_x - prob.pt_prior_w[:, None] * r_pt
 
+        # NOTE r_obs is already IRLS-scaled; its sum of squares equals
+        # the Huber rho to first order inside the trust region
         cost = 0.5 * (jnp.sum(r_obs ** 2) + jnp.sum(r_cc ** 2)
                       + jnp.sum(r_pt ** 2))
         return U, V, W, g_c, g_x, cost
 
     def lm_step(theta, points, lam):
-        U, V, W, g_c, g_x, cost = normal_system(theta, points)
+        U, V, W, g_c, g_x, _ = normal_system(theta, points)
+        cam_cur, intr_cur = unpack(theta)
+        cost = cost_fn(cam_cur, intr_cur, points)
         # Marquardt (scale-invariant) damping: pose params are radians/
         # meters while intrinsics are ~1e3 px, so additive damping would
         # over-damp one or the other
@@ -278,6 +312,7 @@ def lm_solve_batched(
     max_iters: int = 50,
     lam0: float = 1e-3,
     rtol: float = 1e-8,
+    robust_delta: float | None = None,
 ) -> BAResult:
     """Solve a BATCH of bundle adjustments in one program.
 
@@ -288,5 +323,5 @@ def lm_solve_batched(
     with zero weights).
     """
     fn = partial(lm_solve, free_intr=free_intr, max_iters=max_iters,
-                 lam0=lam0, rtol=rtol)
+                 lam0=lam0, rtol=rtol, robust_delta=robust_delta)
     return jax.vmap(fn)(probs)

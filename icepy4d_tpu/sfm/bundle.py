@@ -42,6 +42,7 @@ class BAConfig:
     fix_cameras: list = field(default_factory=list)  # camera names
     free_intrinsics: tuple = ()  # indices in [fx,fy,cx,cy,k1,k2,p1,p2,...]
     fit_f: bool = False          # shortcut: free (fx, fy) like Metashape
+    robust_delta: float | None = None  # Huber band (sigma); None = LS
     max_iters: int = 100
 
 
@@ -186,7 +187,8 @@ class BundleAdjustment:
             free_intr = (0, 1)
         prob, shift, n_tie = self._assemble()
         res: BAResult = lm_solve(
-            prob, free_intr=free_intr, max_iters=cfg.max_iters)
+            prob, free_intr=free_intr, max_iters=cfg.max_iters,
+            robust_delta=cfg.robust_delta)
 
         cam_theta = np.asarray(res.cam_theta)
         intr = np.asarray(res.intrinsics)

@@ -271,3 +271,24 @@ def test_lm_solve_batched_season():
     single = [_rmse_px(jax.tree.map(lambda a: a[i], res), probs[i])
               for i in range(4)]
     assert max(single) < 0.4
+
+
+def test_ba_huber_downweights_outliers():
+    cam_theta, intr, pts, obs = _make_scene(noise_px=0.2)
+    rng = np.random.default_rng(7)
+    obs_bad = obs.copy()
+    n_out = 15
+    obs_bad[:n_out, 2] += rng.uniform(30, 80, (n_out, 2))  # gross outliers
+    pts_noisy = pts + rng.normal(0, 0.03, pts.shape).astype(np.float32)
+    prob = _problem(cam_theta, intr, pts_noisy, obs_bad,
+                    cam_fixed=jnp.asarray([True, True, False]))
+
+    res_ls = lm_solve(prob, max_iters=60)
+    res_hb = lm_solve(prob, max_iters=60, robust_delta=2.0)
+
+    err_ls = np.linalg.norm(np.asarray(res_ls.points) - pts, axis=1)
+    err_hb = np.linalg.norm(np.asarray(res_hb.points) - pts, axis=1)
+    # the corrupted points get dragged by pure LS but not by Huber
+    assert np.median(err_hb[:n_out]) < np.median(err_ls[:n_out]) * 0.5
+    # inlier points stay accurate under Huber
+    assert np.median(err_hb[n_out:]) < 0.02
