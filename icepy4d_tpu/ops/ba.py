@@ -62,7 +62,8 @@ class BAResult(NamedTuple):
     cam_theta: Array
     intrinsics: Array
     points: Array
-    cost: Array           # final 0.5 * sum(weighted residuals^2)
+    cost: Array           # final objective: 0.5 * sum(weighted r^2),
+                          # or the Huber objective when robust_delta set
     initial_cost: Array
     iterations: Array
     lam: Array
@@ -229,16 +230,12 @@ def lm_solve(
                                          prob.pt_prior_w)
         g_x = g_x - prob.pt_prior_w[:, None] * r_pt
 
-        # NOTE r_obs is already IRLS-scaled; its sum of squares equals
-        # the Huber rho to first order inside the trust region
-        cost = 0.5 * (jnp.sum(r_obs ** 2) + jnp.sum(r_cc ** 2)
-                      + jnp.sum(r_pt ** 2))
-        return U, V, W, g_c, g_x, cost
+        return U, V, W, g_c, g_x
 
-    def lm_step(theta, points, lam):
-        U, V, W, g_c, g_x, _ = normal_system(theta, points)
-        cam_cur, intr_cur = unpack(theta)
-        cost = cost_fn(cam_cur, intr_cur, points)
+    def lm_step(theta, points, lam, cost):
+        # `cost` (the objective at theta/points) rides the loop state —
+        # no re-evaluation here
+        U, V, W, g_c, g_x = normal_system(theta, points)
         # Marquardt (scale-invariant) damping: pose params are radians/
         # meters while intrinsics are ~1e3 px, so additive damping would
         # over-damp one or the other
@@ -285,7 +282,7 @@ def lm_solve(
     def body(state):
         theta, points, lam, cost, _, it, _ = state
         new_theta, new_points, cur_cost, new_cost = lm_step(
-            theta, points, lam)
+            theta, points, lam, cost)
         accept = new_cost < cur_cost
         theta = jnp.where(accept, new_theta, theta)
         points = jnp.where(accept, new_points, points)

@@ -272,6 +272,9 @@ class Pipeline:
             camera_center_sigma_m=float(
                 ba_cfg.get("camera_location_accuracy", 0.5)),
             fit_f=bool(ba_cfg.get("fit_f", True)),
+            robust_delta=(float(ba_cfg["robust_delta"])
+                          if ba_cfg.get("robust_delta") is not None
+                          else None),
             max_iters=int(ba_cfg.get("max_iters", 60)),
         )
         ba = BundleAdjustment(

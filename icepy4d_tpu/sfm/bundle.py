@@ -207,9 +207,31 @@ class BundleAdjustment:
 
         pts = np.asarray(res.points)[:n_tie] + shift
 
-        # final weighted RMSE over valid tie-point observations
-        n_obs = int(np.asarray(prob.obs_w > 0).sum())
-        rmse = float(np.sqrt(2.0 * float(res.cost) / max(n_obs, 1)))
+        # true pixel RMSE from actual residuals (res.cost is the Huber
+        # objective when robust_delta is set, so it cannot be inverted
+        # into an RMSE). Projected in the RE-CENTERED frame — UTM-scale
+        # world coordinates would lose ~1 px to f32 cancellation.
+        from icepy4d_tpu.ops.geometry import distort_normalized
+
+        sq, n_obs = 0.0, 0
+        pts_c = np.asarray(res.points)[:n_tie]
+        obs_xy = np.asarray(prob.obs_xy)[:n_tie]
+        obs_w = np.asarray(prob.obs_w)[:n_tie]
+        for ci in range(len(self.cam_names)):
+            ok = obs_w[:, ci] > 0
+            if not ok.any():
+                continue
+            th = cam_theta[ci]  # still re-centered
+            R = np.asarray(rodrigues_to_matrix(jnp.asarray(th[:3])))
+            Xc = pts_c[ok] @ R.T + th[3:6]
+            xn = Xc[:, :2] / Xc[:, 2:]
+            xd = np.asarray(distort_normalized(jnp.asarray(xn),
+                                               jnp.asarray(intr[ci, 4:])))
+            proj = xd * intr[ci, :2] + intr[ci, 2:4]
+            r = proj - obs_xy[:, ci][ok]
+            sq += float((r ** 2).sum())
+            n_obs += int(ok.sum())
+        rmse = float(np.sqrt(sq / max(n_obs, 1)))
         return BAOutput(
             cameras=cameras,
             points=pts,
