@@ -56,7 +56,16 @@ def main() -> None:
         geometric_verification=GeometricVerification.JAX_RANSAC,
     )
 
-    matcher.match(img0, img1, **kwargs)  # compile warmup
+    # compile warmup — retry once: remote-TPU compile services
+    # occasionally drop a connection mid-stream
+    for attempt in range(2):
+        try:
+            matcher.match(img0, img1, **kwargs)
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(5.0)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -8,6 +8,7 @@ DSM-grid mesh.
 """
 
 from icepy4d_tpu.post_processing.point_clouds import (  # noqa: F401
+    DemOfDifference,
     filter_pcd_by_polyline,
     mesh_from_dsm_grid,
     meshing_poisson,

@@ -128,3 +128,49 @@ def write_mesh_ply(path, verts: np.ndarray, faces: np.ndarray) -> None:
             f.write(f"{v[0]:.4f} {v[1]:.4f} {v[2]:.4f}\n")
         for tri in faces:
             f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+
+
+class DemOfDifference:
+    """API-parity wrapper over the grid DEM differencing
+    (ref post_processing/cloudcompare_fun.py:74-216): build DSMs from two
+    point clouds on a shared grid and report volume change."""
+
+    def __init__(self, pcd0, pcd1, dsm_step: float = 1.0,
+                 xlim=None, ylim=None):
+        from icepy4d_tpu.utils.dsm_orthophoto import build_dsm
+
+        import numpy as _np
+
+        p0 = _np.asarray(pcd0, _np.float32)
+        p1 = _np.asarray(pcd1, _np.float32)
+        both = _np.concatenate([p0, p1])
+        if xlim is None:
+            xlim = (float(_np.floor(both[:, 0].min())),
+                    float(_np.ceil(both[:, 0].max())))
+        if ylim is None:
+            ylim = (float(_np.floor(both[:, 1].min())),
+                    float(_np.ceil(both[:, 1].max())))
+        self.dsm0 = build_dsm(p0, dsm_step, xlim=xlim, ylim=ylim)
+        self.dsm1 = build_dsm(p1, dsm_step, xlim=xlim, ylim=ylim)
+        self.dz = None
+        self.report = None
+
+    def compute_volume(self):
+        from icepy4d_tpu.utils.dsm_orthophoto import dem_of_difference
+
+        self.dz, self.report = dem_of_difference(self.dsm0, self.dsm1)
+        return self.report
+
+    def write_result_to_file(self, path, label: str = "") -> None:
+        import os
+
+        if self.report is None:
+            self.compute_volume()
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            if new:
+                f.write("label,volume_added_m3,volume_removed_m3,"
+                        "net_m3,area_m2,mean_dz_m\n")
+            r = self.report
+            f.write(f"{label},{r.added:.3f},{r.removed:.3f},"
+                    f"{r.net:.3f},{r.area:.3f},{r.mean_dz:.5f}\n")

@@ -291,3 +291,18 @@ def test_homography_warping_stabilizes_rotation():
     ang = np.array([[0, 0, 0], [0, 10, 0], [0, 0, 0]], float)
     sm = smooth_euler_angles(ang, window=1)
     assert sm[1, 1] == 0.0  # spike removed by median
+
+
+def test_dem_of_difference_class(tmp_path):
+    from icepy4d_tpu.post_processing import DemOfDifference
+
+    g = np.stack(np.meshgrid(np.linspace(0.5, 9.5, 30),
+                             np.linspace(0.5, 9.5, 30)), -1).reshape(-1, 2)
+    p0 = np.concatenate([g, np.full((900, 1), 5.0)], 1)
+    p1 = np.concatenate([g, np.full((900, 1), 4.0)], 1)  # 1 m melt
+    dod = DemOfDifference(p0, p1, dsm_step=1.0)
+    rep = dod.compute_volume()
+    assert abs(rep.removed - 100.0) < 2.0 and rep.added < 1e-6
+    dod.write_result_to_file(tmp_path / "vol.csv", label="2022-05")
+    txt = (tmp_path / "vol.csv").read_text().splitlines()
+    assert len(txt) == 2 and txt[1].startswith("2022-05")
