@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from icepy4d_tpu.ops.image import bilinear_sample
 
@@ -50,13 +51,17 @@ def plane_homography(K0: Array, K1: Array, R: Array, t: Array,
 
 
 def _box_filter(x: Array, w: int) -> Array:
-    """Separable (w x w) mean filter on (H, W)."""
-    k = jnp.ones((w,), x.dtype) / w
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "SAME")[0, 0]
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "SAME")[0, 0]
-    return x
+    """Separable (w x w) mean filter on (H, W) by shift-adds.
+
+    Single-channel convs hit the MXU with 1-wide contractions (terribly
+    slow on TPU); 2*w vectorized shifted adds run on the VPU at full
+    width instead."""
+    r = w // 2
+    h, wd = x.shape
+    xp = jnp.pad(x, ((r, r), (0, 0)))
+    x = sum(xp[k:k + h] for k in range(w)) / w
+    xp = jnp.pad(x, ((0, 0), (r, r)))
+    return sum(xp[:, k:k + wd] for k in range(w)) / w
 
 
 def _zncc_cost(I0: Array, I1w: Array, w: int, eps: float = 1e-6) -> Array:
@@ -177,3 +182,82 @@ def depth_to_points(depth: Array, K0: Array, E0: Array,
     Xw = Xc.reshape(-1, 3) @ Rcw.T + C
     valid = jnp.ones((h * w,), bool) if mask is None else mask.reshape(-1)
     return Xw, valid
+
+
+@partial(jax.jit, static_argnames=("disp_min", "disp_max", "n_disp",
+                                   "window"))
+def disparity_sweep(
+    I0r: Array,
+    I1r: Array,
+    disp_min: float,
+    disp_max: float,
+    n_disp: int = 96,
+    window: int = 7,
+) -> dict:
+    """Dense matching of a RECTIFIED pair by disparity sweep.
+
+    Every hypothesis is an x-shift of I1r (two static slices + a lerp —
+    no gathers), scored with windowed ZNCC; the sweep streams with a
+    fori_loop exactly like `plane_sweep`. Rectify with ops.rectify
+    first; disparity d means I0r(x) corresponds to I1r(x - d).
+
+    Returns dict(disparity (H, W) subpixel, cost, uniqueness, inbounds).
+    """
+    h, w = I0r.shape
+    big = jnp.float32(2.0)
+    pad = int(np.ceil(max(abs(disp_max), abs(disp_min)))) + 2
+    I1p = jnp.pad(I1r, ((0, 0), (pad, pad)))
+    disps = jnp.linspace(disp_min, disp_max, n_disp)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def cost_at(k):
+        d = disps[k]
+        off = jnp.floor(d).astype(jnp.int32)
+        frac = d - off.astype(jnp.float32)
+        base = pad - off  # I1p column of I1r x=0 shifted by floor(d)
+        a = jax.lax.dynamic_slice(I1p, (0, base - 1), (h, w))
+        b = jax.lax.dynamic_slice(I1p, (0, base), (h, w))
+        I1s = a * frac + b * (1.0 - frac)
+        inb = (xs - d >= 0) & (xs - d <= w - 1)
+        inb = jnp.broadcast_to(inb, (h, w))
+        c = _zncc_cost(I0r, I1s, window)
+        return jnp.where(inb, c, big), inb
+
+    def body(k, carry):
+        (best, best_k, c_m, c_p, prev_c, second, best_inb) = carry
+        c, inb = cost_at(k)
+        is_new = c < best
+        c_p = jnp.where((k == best_k + 1) & ~is_new, c, c_p)
+        second = jnp.where(is_new, best, jnp.minimum(second, c))
+        c_m = jnp.where(is_new, prev_c, c_m)
+        c_p = jnp.where(is_new, big, c_p)
+        best_k = jnp.where(is_new, k, best_k)
+        best = jnp.where(is_new, c, best)
+        best_inb = jnp.where(is_new, inb, best_inb)
+        return (best, best_k, c_m, c_p, c, second, best_inb)
+
+    init = (
+        jnp.full((h, w), big), jnp.full((h, w), -1, jnp.int32),
+        jnp.full((h, w), big), jnp.full((h, w), big),
+        jnp.full((h, w), big), jnp.full((h, w), big),
+        jnp.zeros((h, w), bool),
+    )
+    best, best_k, c_m, c_p, _, second, best_inb = jax.lax.fori_loop(
+        0, n_disp, body, init)
+
+    denom = c_m - 2.0 * best + c_p
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (c_m - c_p) / jnp.where(
+                          jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    interior = (best_k > 0) & (best_k < n_disp - 1) & (c_m < big) \
+        & (c_p < big)
+    delta = jnp.where(interior, delta, 0.0)
+    step = (disp_max - disp_min) / max(n_disp - 1, 1)
+    disp = disp_min + (best_k.astype(jnp.float32) + delta) * step
+    return {
+        "disparity": disp,
+        "cost": best,
+        "uniqueness": best / jnp.maximum(second, 1e-6),
+        "inbounds": best_inb & (best_k >= 0),
+    }

@@ -176,3 +176,100 @@ def test_dem_of_difference_volume():
     assert abs(rep.net - 100.0) < 1.0
     assert rep.removed < 1e-6
     assert abs(rep.mean_dz - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# rectification + disparity sweep (the fast TPU path)
+# ---------------------------------------------------------------------------
+
+def test_rectify_identity_for_rectified_rig(stereo_plane):
+    from icepy4d_tpu.ops.rectify import rectify_pair
+
+    _, _, E0, E1, _ = stereo_plane
+    r = rectify_pair(jnp.asarray(K), jnp.asarray(E0),
+                     jnp.asarray(K), jnp.asarray(E1))
+    # rig is already rectified (pure x baseline): H ~ identity
+    np.testing.assert_allclose(np.asarray(r["H0"]), np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r["H1"]), np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(float(r["baseline"]), 1.0, atol=1e-6)
+
+
+def test_disparity_sweep_recovers_depth(stereo_plane):
+    from icepy4d_tpu.ops.dense import disparity_sweep
+    from icepy4d_tpu.ops.rectify import disparity_to_depth
+
+    I0, I1, E0, E1, Z = stereo_plane
+    # rectified rig: disparity = f * B / Z = 22
+    out = disparity_sweep(jnp.asarray(I0), jnp.asarray(I1),
+                          disp_min=10.0, disp_max=45.0, n_disp=96)
+    disp = np.asarray(out["disparity"])
+    good = np.asarray(out["inbounds"]) & (np.asarray(out["cost"]) < 0.2)
+    sel = good[20:-20, 40:-20]
+    assert sel.mean() > 0.8
+    err = np.abs(disp[20:-20, 40:-20][sel] - 22.0)
+    assert np.median(err) < 0.15
+    depth = disparity_to_depth(jnp.asarray(disp), jnp.asarray(K),
+                               jnp.asarray(1.0))
+    derr = np.abs(np.asarray(depth)[20:-20, 40:-20][sel] - Z)
+    assert np.median(derr) < 0.1
+
+
+def test_rectified_sweep_on_rotated_rig():
+    """Rotate camera 1; rectification must recover the plane depth."""
+    import cv2
+
+    from icepy4d_tpu.ops.dense import disparity_sweep
+    from icepy4d_tpu.ops.image import warp_homography
+    from icepy4d_tpu.ops.rectify import (disparity_to_depth,
+                                         rect_pixels_to_world,
+                                         rectify_pair)
+    from icepy4d_tpu.ops.transforms import euler_matrix
+
+    tex = _texture(1)
+    Z = 10.0
+    E0 = np.eye(4, dtype=np.float32)
+    E1 = np.eye(4, dtype=np.float32)
+    Rr = np.asarray(euler_matrix(jnp.asarray(0.0),
+                                 jnp.asarray(np.deg2rad(2.0)),
+                                 jnp.asarray(np.deg2rad(1.0))))
+    E1[:3, :3] = Rr
+    E1[:3, 3] = Rr @ np.array([-1.0, 0, 0], np.float32)  # C1=(1,0,0)
+
+    ys, xs = np.mgrid[0:H, 0:W]
+
+    def render(E):
+        R = E[:3, :3]
+        C = -R.T @ E[:3, 3]
+        rays = np.stack([(xs - K[0, 2]) / F, (ys - K[1, 2]) / F,
+                         np.ones_like(xs, np.float32)], -1) @ R
+        s = (Z - C[2]) / rays[..., 2]
+        X = C + s[..., None] * rays
+        u = (X[..., 0] + 3.0) / 6.0 * (W * 2 - 1)
+        v = (X[..., 1] + 2.5) / 5.0 * (H * 2 - 1)
+        return cv2.remap(tex, u.astype(np.float32),
+                         v.astype(np.float32), cv2.INTER_LINEAR)
+
+    I0, I1 = render(E0), render(E1)
+    r = rectify_pair(jnp.asarray(K), jnp.asarray(E0),
+                     jnp.asarray(K), jnp.asarray(E1))
+    I0r = warp_homography(jnp.asarray(I0), r["H0"], H, W)
+    I1r = warp_homography(jnp.asarray(I1), r["H1"], H, W)
+    f_new = float(r["K_new"][0, 0])
+    d0 = f_new * 1.0 / 20.0
+    d1 = f_new * 1.0 / 5.0
+    out = disparity_sweep(I0r, I1r, disp_min=d0, disp_max=d1, n_disp=96)
+    disp = np.asarray(out["disparity"])
+    good = np.asarray(out["inbounds"]) & (np.asarray(out["cost"]) < 0.15)
+    inner = good[30:-30, 50:-30]
+    assert inner.mean() > 0.5
+    depth = np.asarray(disparity_to_depth(
+        jnp.asarray(disp), r["K_new"], r["baseline"]))
+    derr = np.abs(depth[30:-30, 50:-30][inner] - Z)
+    assert np.median(derr) < 0.1
+    # world unprojection lands on the Z=10 plane
+    yy, xx = np.mgrid[30:H - 30, 50:W - 30]
+    pix = np.stack([xx[inner], yy[inner]], -1).astype(np.float32)
+    pts = np.asarray(rect_pixels_to_world(
+        jnp.asarray(pix), jnp.asarray(depth[30:-30, 50:-30][inner]),
+        r["K_new"], r["R_new"], r["C0"]))
+    assert np.median(np.abs(pts[:, 2] - Z)) < 0.1
