@@ -15,12 +15,20 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def rectify_pair(K0: Array, E0: Array, K1: Array, E1: Array):
+def rectify_pair(K0: Array, E0: Array, K1: Array, E1: Array,
+                 image_size: tuple | None = None):
     """Compute rectifying transforms for two calibrated views.
 
     Returns dict with H0, H1 (3, 3) homographies mapping ORIGINAL image
-    pixels to the rectified frame, K_new (3, 3), R_new (3, 3) world->rect
-    rotation, baseline (scalar), and the rectified camera-0 center.
+    pixels to the rectified frame, K_new (3, 3) rectified camera-0
+    intrinsics, R_new (3, 3) world->rect rotation, baseline (scalar),
+    the camera-0 center, and disp_offset.
+
+    image_size (w, h): when given, each rectified frame is re-centered
+    on its own image content (convergent rigs otherwise map entirely
+    outside the window). The per-camera horizontal shifts differ, so the
+    stereo relation becomes d = f*B/Z + disp_offset — the helpers below
+    take the offset.
     """
     R0, t0 = E0[:3, :3], E0[:3, 3]
     R1, t1 = E1[:3, :3], E1[:3, 3]
@@ -42,23 +50,52 @@ def rectify_pair(K0: Array, E0: Array, K1: Array, E1: Array):
 
     H0 = K_new @ R_new @ R0.T @ jnp.linalg.inv(K0)
     H1 = K_new @ R_new @ R1.T @ jnp.linalg.inv(K1)
+    H0 = H0 / H0[2, 2]
+    H1 = H1 / H1[2, 2]
+    disp_offset = jnp.asarray(0.0)
+    if image_size is not None:
+        w, h = image_size
+        ctr = jnp.asarray([w / 2.0, h / 2.0, 1.0])
+
+        def mapped(Hm):
+            c = Hm @ ctr
+            return c[:2] / c[2]
+
+        c0 = mapped(H0)
+        c1 = mapped(H1)
+        tx0 = w / 2.0 - c0[0]
+        tx1 = w / 2.0 - c1[0]
+        # vertical shift must be COMMON (rows stay epipolar-aligned)
+        ty = h / 2.0 - 0.5 * (c0[1] + c1[1])
+        T0 = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]
+                         ).at[0, 2].set(tx0).at[1, 2].set(ty)
+        T1 = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]
+                         ).at[0, 2].set(tx1).at[1, 2].set(ty)
+        H0 = T0 @ H0
+        H1 = T1 @ H1
+        K_new = K_new.at[0, 2].add(tx0).at[1, 2].add(ty)
+        disp_offset = tx0 - tx1
     return {
-        "H0": H0 / H0[2, 2],
-        "H1": H1 / H1[2, 2],
+        "H0": H0,
+        "H1": H1,
         "K_new": K_new,
         "R_new": R_new,
         "baseline": baseline,
         "C0": C0,
+        "disp_offset": disp_offset,
     }
 
 
-def disparity_to_depth(disp: Array, K_new: Array, baseline: Array) -> Array:
-    """Z (rectified frame) = f * B / d."""
-    return K_new[0, 0] * baseline / jnp.maximum(disp, 1e-9)
+def disparity_to_depth(disp: Array, K_new: Array, baseline: Array,
+                       disp_offset: Array | float = 0.0) -> Array:
+    """Z (rectified frame) = f * B / (d - disp_offset)."""
+    d = disp - disp_offset
+    return K_new[0, 0] * baseline / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
 
 
-def depth_to_disparity(depth: Array, K_new: Array, baseline: Array) -> Array:
-    return K_new[0, 0] * baseline / jnp.maximum(depth, 1e-9)
+def depth_to_disparity(depth: Array, K_new: Array, baseline: Array,
+                       disp_offset: Array | float = 0.0) -> Array:
+    return K_new[0, 0] * baseline / jnp.maximum(depth, 1e-9) + disp_offset
 
 
 def rect_pixels_to_world(xy: Array, depth: Array, K_new: Array,

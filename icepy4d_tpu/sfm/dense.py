@@ -94,23 +94,24 @@ class PlaneSweepStereo:
         E1 = jnp.asarray(cam1.extrinsics)
 
         if self.method == "rectified":
-            rect = rectify_pair(K0, E0, K1, E1)
             h, w = g0.shape
+            rect = rectify_pair(K0, E0, K1, E1, image_size=(w, h))
             g0r = warp_homography(g0, rect["H0"], h, w)
             g1r = warp_homography(g1, rect["H1"], h, w)
             if rgb0 is not None:
                 rgb0 = warp_homography(rgb0, rect["H0"], h, w)
+            off = rect["disp_offset"]
             d_lo = float(depth_to_disparity(
                 jnp.asarray(self.depth_max), rect["K_new"],
-                rect["baseline"]))
+                rect["baseline"], off))
             d_hi = float(depth_to_disparity(
                 jnp.asarray(self.depth_min), rect["K_new"],
-                rect["baseline"]))
+                rect["baseline"], off))
             out = disparity_sweep(g0r, g1r, d_lo, d_hi,
                                   n_disp=self.n_planes,
                                   window=self.window)
             depth = np.asarray(disparity_to_depth(
-                out["disparity"], rect["K_new"], rect["baseline"]))
+                out["disparity"], rect["K_new"], rect["baseline"], off))
             self._rect = rect
             self._g0 = g0r
         else:
