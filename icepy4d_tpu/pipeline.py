@@ -289,6 +289,45 @@ class Pipeline:
             epoch.cameras[c] = out.cameras[c]
         return out.points
 
+    def _dense_epoch(self, epoch: Epoch, pts3d: np.ndarray) -> None:
+        """Per-epoch dense reconstruction (replaces Metashape
+        buildDepthMaps/buildDenseCloud, main_dev.py:341-344). The depth
+        range auto-derives from the sparse cloud."""
+        from icepy4d_tpu.core.point_cloud import PointCloud
+        from icepy4d_tpu.sfm.dense import PlaneSweepStereo
+
+        dn = self.cfg.get("dense", DotDict())
+        cam0 = epoch.cameras[self.cams[0]]
+        d = np.linalg.norm(
+            pts3d - np.asarray(cam0.C).reshape(1, 3), axis=1)
+        d_lo = float(np.percentile(d, 2)
+                     * float(dn.get("near_margin", 0.7)))
+        d_hi = float(np.percentile(d, 98)
+                     * float(dn.get("far_margin", 1.5)))
+        pss = PlaneSweepStereo(
+            [epoch.cameras[self.cams[0]], epoch.cameras[self.cams[1]]],
+            [epoch.images[self.cams[0]].value,
+             epoch.images[self.cams[1]].value],
+            depth_min=d_lo, depth_max=d_hi,
+            n_planes=int(dn.get("n_planes", 128)),
+            window=int(dn.get("window", 7)),
+            downscale=int(dn.get("downscale", 1)),
+            cost_threshold=float(dn.get("cost_threshold", 0.4)),
+            uniqueness_threshold=float(
+                dn.get("uniqueness_threshold", 0.99)),
+        )
+        pss.run()
+        pts, colors = pss.to_point_cloud()
+        pc = PointCloud(points3d=pts, points_col=colors)
+        if bool(self.cfg.get("other", {}).get("do_SOR_filter", False)) \
+                and len(pc) > 100:
+            pc.sor_filter()
+        epoch.point_cloud = pc
+        epoch.epoch_dir.mkdir(parents=True, exist_ok=True)
+        pc.write_ply(epoch.epoch_dir / f"dense_{epoch.date_str}.ply")
+        logger.info("epoch %s dense cloud: %d points", epoch.date_str,
+                    len(pc))
+
     # -- main loop -------------------------------------------------------------
 
     def process_epoch(self, ep: int, prev: Epoch | None = None) -> Epoch:
@@ -309,6 +348,9 @@ class Pipeline:
         pts3d = self._orient_epoch(epoch)
         if pts3d is not None and bool(proc.get("do_ba", True)):
             pts3d = self._bundle_epoch(epoch, pts3d)
+        if pts3d is not None and len(pts3d) > 10 \
+                and bool(proc.get("do_dense", False)):
+            self._dense_epoch(epoch, pts3d)
         if pts3d is not None:
             feats0 = epoch.features[self.cams[0]]
             pts_obj = Points()

@@ -114,3 +114,27 @@ def test_pipeline_run_batched_on_mesh(cfg):
         ids0 = ep.features["cam1"].track_ids_to_numpy()
         ids1 = ep.features["cam2"].track_ids_to_numpy()
         np.testing.assert_array_equal(ids0, ids1)
+
+
+def test_pipeline_dense_step(cfg):
+    """do_dense runs per-epoch dense reconstruction and saves a PLY
+    (geometry quality is weight-limited in CI; we exercise the path)."""
+    import copy
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    dcfg = DotDict.wrap(copy.deepcopy(dict(cfg)))
+    dcfg.proc.epoch_to_process = [0]
+    dcfg.proc.do_tracking = False
+    dcfg.proc.do_dense = True
+    dcfg.proc.save_checkpoints = False
+    dcfg["dense"] = {"n_planes": 32, "downscale": 2}
+    pipe = Pipeline(dcfg)
+    epoches = pipe.run()
+    ep = epoches[0]
+    if ep.point_cloud is not None:  # requires >10 surviving points
+        from pathlib import Path
+
+        plys = list(Path(ep.epoch_dir).glob("dense_*.ply"))
+        assert plys
