@@ -322,3 +322,74 @@ def lm_solve_batched(
     fn = partial(lm_solve, free_intr=free_intr, max_iters=max_iters,
                  lam0=lam0, rtol=rtol, robust_delta=robust_delta)
     return jax.vmap(fn)(probs)
+
+
+@partial(jax.jit, static_argnames=("free_intr",))
+def point_covariances(
+    prob: BAProblem,
+    cam_theta: Array,
+    intrinsics: Array,
+    points: Array,
+    free_intr: tuple = (),
+) -> Array:
+    """Marginal 3x3 covariance of every point at the BA solution.
+
+    Replaces Metashape's tiepoint_covariance export
+    (metashape/metashape_core.py:187-224). Residuals are pre-whitened by
+    the 1/sigma weights, so JtJ is the information matrix in physical
+    units and Cov_X = V^-1 + V^-1 Wt S^-1 W V^-1 (the camera-uncertainty
+    back-substitution; fixed cameras contribute zero).
+    Returns (P, 3, 3).
+    """
+    c = cam_theta.shape[0]
+    ni = len(free_intr)
+    b = 6 + ni
+    theta = cam_theta
+    if ni:
+        theta = jnp.concatenate(
+            [cam_theta, intrinsics[:, jnp.asarray(free_intr)]], axis=1)
+
+    def resid_theta(th, X, intr_b, xy, w):
+        return _project_resid(th, X, intr_b, xy, w, free_intr)
+
+    jac = jax.jacfwd(resid_theta, argnums=(0, 1))
+
+    def per_point(X, xyc, wc):
+        Jt, Jx = jax.vmap(jac, in_axes=(0, None, 0, 0, 0))(
+            theta, X, intrinsics, xyc, wc)
+        return Jt, Jx
+
+    J_t, J_x = jax.vmap(per_point)(points, prob.obs_xy, prob.obs_w)
+    U = jnp.einsum("pcib,pcid->cbd", J_t, J_t)
+    V = jnp.einsum("pcib,pcid->pbd", J_x, J_x)
+    W = jnp.einsum("pcib,pcid->pcbd", J_t, J_x)
+
+    jac_cc = jax.jacfwd(_center_resid, argnums=0)
+    J_cc = jax.vmap(jac_cc)(cam_theta, prob.cam_prior, prob.cam_prior_w)
+    if ni:
+        J_cc = jnp.concatenate(
+            [J_cc, jnp.zeros((c, 3, ni), J_cc.dtype)], axis=2)
+    U = U + jnp.einsum("cib,cid->cbd", J_cc, J_cc)
+    V = V + (prob.pt_prior_w[:, None] ** 2)[..., None] * jnp.eye(3)[None]
+    V = V + 1e-8 * jnp.eye(3)[None]
+
+    Vinv = jnp.linalg.inv(V)
+    Y = jnp.einsum("pcbj,pjk->pcbk", W, Vinv)
+    S = -jnp.einsum("pcbk,pdek->cdbe", Y, W)
+    S = S.at[jnp.arange(c), jnp.arange(c)].add(U)
+    Sd = S.transpose(0, 2, 1, 3).reshape(c * b, c * b)
+
+    pose_fixed = jnp.broadcast_to(prob.cam_fixed[:, None], (c, 6))
+    if ni:
+        pose_fixed = jnp.concatenate(
+            [pose_fixed, jnp.zeros((c, ni), bool)], axis=1)
+    freef = 1.0 - pose_fixed.reshape(-1).astype(Sd.dtype)
+    Sd = Sd * freef[:, None] * freef[None, :] + jnp.diag(1.0 - freef)
+    cov_theta = jnp.linalg.inv(Sd) * freef[:, None] * freef[None, :]
+
+    # G[p] = W_p^T with shape (3, C*B); note S/cov_theta use the
+    # (cam-major, param-minor) flattening [c*b + i]
+    G = W.transpose(0, 3, 1, 2).reshape(-1, 3, c * b)
+    A = jnp.einsum("pij,pjk->pik", Vinv, G)              # V^-1 Wt (P,3,CB)
+    corr = jnp.einsum("pik,kl,pjl->pij", A, cov_theta, A)
+    return Vinv + corr

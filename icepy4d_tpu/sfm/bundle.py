@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from icepy4d_tpu.core.camera import Camera
-from icepy4d_tpu.ops.ba import BAProblem, BAResult, lm_solve
+from icepy4d_tpu.ops.ba import (BAProblem, BAResult, lm_solve,
+                                point_covariances)
 from icepy4d_tpu.ops.transforms import matrix_to_rodrigues, rodrigues_to_matrix
 
 
@@ -43,6 +44,7 @@ class BAConfig:
     free_intrinsics: tuple = ()  # indices in [fx,fy,cx,cy,k1,k2,p1,p2,...]
     fit_f: bool = False          # shortcut: free (fx, fy) like Metashape
     robust_delta: float | None = None  # Huber band (sigma); None = LS
+    compute_covariance: bool = False   # Metashape tiepoint_covariance
     max_iters: int = 100
 
 
@@ -54,6 +56,7 @@ class BAOutput:
     initial_cost: float
     iterations: int
     reprojection_rmse_px: float
+    point_covariances: np.ndarray | None = None  # (P, 3, 3) when requested
 
 
 def _camera_to_theta(cam: Camera) -> np.ndarray:
@@ -232,6 +235,12 @@ class BundleAdjustment:
             sq += float((r ** 2).sum())
             n_obs += int(ok.sum())
         rmse = float(np.sqrt(sq / max(n_obs, 1)))
+        covs = None
+        if cfg.compute_covariance:
+            # translation-invariant: the re-centered frame is fine
+            covs = np.asarray(point_covariances(
+                prob, res.cam_theta, res.intrinsics, res.points,
+                free_intr=free_intr))[:n_tie]
         return BAOutput(
             cameras=cameras,
             points=pts,
@@ -239,4 +248,5 @@ class BundleAdjustment:
             initial_cost=float(res.initial_cost),
             iterations=int(res.iterations),
             reprojection_rmse_px=rmse,
+            point_covariances=covs,
         )

@@ -292,3 +292,39 @@ def test_ba_huber_downweights_outliers():
     assert np.median(err_hb[:n_out]) < np.median(err_ls[:n_out]) * 0.5
     # inlier points stay accurate under Huber
     assert np.median(err_hb[n_out:]) < 0.02
+
+
+def test_point_covariances_match_empirical_error():
+    """Predicted covariances must track the actual estimation error:
+    the Mahalanobis distance of (estimate - truth) should be ~chi2(3)."""
+    import jax
+
+    from icepy4d_tpu.ops.ba import point_covariances
+
+    cam_theta, intr, pts, obs = _make_scene(n_pts=200, noise_px=1.0)
+    rng = np.random.default_rng(11)
+    pts_noisy = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    prob = _problem(cam_theta, intr, pts_noisy, obs,
+                    cam_fixed=jnp.ones((3,), bool))
+    res = lm_solve(prob, max_iters=60)
+    cov = np.asarray(point_covariances(
+        prob, res.cam_theta, res.intrinsics, res.points))
+    assert cov.shape == (200, 3, 3)
+    # symmetric positive definite
+    np.testing.assert_allclose(cov, cov.transpose(0, 2, 1), atol=1e-8)
+    assert (np.linalg.eigvalsh(cov) > 0).all()
+    err = np.asarray(res.points) - pts
+    m2 = np.einsum("pi,pij,pj->p", err, np.linalg.inv(cov), err)
+    # E[chi2_3] = 3; allow generous slack for the single draw
+    assert 1.0 < m2.mean() < 9.0
+    # more observations (all 3 cams) must beat fewer: scale check vs a
+    # 1-extra-sigma scenario — covariance grows with weaker weights
+    w2 = np.ones(obs.shape[:2], np.float32) * 0.5   # sigma doubled
+    prob2 = _problem(cam_theta, intr, pts_noisy, obs,
+                     obs_w=jnp.asarray(w2),
+                     cam_fixed=jnp.ones((3,), bool))
+    cov2 = np.asarray(point_covariances(
+        prob2, res.cam_theta, res.intrinsics, res.points))
+    ratio = np.trace(cov2, axis1=1, axis2=2) / np.trace(cov, axis1=1,
+                                                        axis2=2)
+    np.testing.assert_allclose(ratio, 4.0, rtol=0.05)
