@@ -62,6 +62,7 @@ class Pipeline:
         self.results_dir.mkdir(parents=True, exist_ok=True)
         self.epoch_map = EpochDataMap(
             cfg.paths.image_dir,
+            master_camera=cfg.paths.get("master_camera"),
             time_tolerance_sec=int(cfg.get("proc", {}).get(
                 "time_tolerance_sec", 1200)),
         )
