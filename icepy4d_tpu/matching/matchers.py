@@ -65,15 +65,6 @@ def _round_up_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
-def _pad_to_multiple(img: jnp.ndarray, m: int = 8) -> jnp.ndarray:
-    h, w = img.shape[:2]
-    ph = (-h) % m
-    pw = (-w) % m
-    if ph or pw:
-        img = jnp.pad(img, ((0, ph), (0, pw)) + ((0, 0),) * (img.ndim - 2))
-    return img
-
-
 @partial(jax.jit, static_argnames=("quality",))
 def _preprocess(image: jnp.ndarray, quality: str) -> jnp.ndarray:
     """uint8/float (H, W[, 3]) -> grayscale [0,1] at the quality scale.
@@ -441,10 +432,13 @@ class ImageMatcherBase:
     # -- matching paths --------------------------------------------------------
 
     def _match_full(self, img0, img1, max_keypoints: int | None = None):
-        """Single full-frame pair match -> host matched arrays."""
+        """Single full-frame pair match -> host matched arrays.
+
+        No pre-padding: SuperPoint.extract pads internally AND masks its
+        own pad band as border (pre-padded input would shift the band
+        inside and let edge detections through)."""
         k = max_keypoints or self._max_keypoints
-        p0 = _pad_to_multiple(img0)
-        p1 = _pad_to_multiple(img1)
+        p0, p1 = img0, img1
         if p0.shape == p1.shape:
             feats = self._extract(jnp.stack([p0, p1]), k)
             feats0 = jax.tree.map(lambda a: a[:1], feats)
@@ -483,7 +477,7 @@ class ImageMatcherBase:
         if not pairs:
             logger.warning("No tile pairs selected — no matches")
             z2 = np.empty((0, 2), np.float32)
-            zd = np.empty((0, 256), np.float32)
+            zd = np.empty((0, self.descriptor_dim), np.float32)
             z = np.empty((0,), np.float32)
             return z2, z2, zd, zd, z, z, z
 

@@ -33,21 +33,32 @@ def track_features(
     prev_scores: np.ndarray,
     new_image,
     grid=(1, 1),
+    quality: str = "high",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Find each previous-epoch feature in `new_image`.
 
-    prev_kpts (N, 2) px; prev_descr (N, D); prev_scores (N,).
-    Returns (new_kpts (N, 2), found (N,) bool, new_descr (N, D),
+    prev_kpts (N, 2) FULL-RES px; prev_descr (N, D); prev_scores (N,).
+    Returns (new_kpts (N, 2) full-res, found (N,) bool, new_descr (N, D),
     new_scores (N,)): new_kpts[i] is the tracked position of feature i.
+
+    `quality` must match the setting the seeds were extracted with —
+    descriptors are scale-sensitive, so the new image is resized to the
+    same ladder rung before extraction (coords are rescaled back).
 
     Mirrors the reference's seeding of `Matching` with `keypoints0`
     (track_matches.py:219-232) on zero-overlap tiles.
     """
-    prev_kpts = np.asarray(prev_kpts, np.float32)
+    from icepy4d_tpu.matching.enums import QUALITY_SCALE, Quality
+    from icepy4d_tpu.matching.matchers import _preprocess
+
+    scale = QUALITY_SCALE[Quality[quality.upper()]] \
+        if isinstance(quality, str) else QUALITY_SCALE[quality]
+    prev_kpts = np.asarray(prev_kpts, np.float32) * scale
     prev_descr = np.asarray(prev_descr, np.float32)
     prev_scores = np.asarray(prev_scores, np.float32).reshape(-1)
     n, d = prev_descr.shape
-    img = matcher._to_gray_device(np.asarray(new_image))
+    qname = quality.lower() if isinstance(quality, str) else "high"
+    img = _preprocess(jnp.asarray(np.asarray(new_image)), qname)
 
     tiler = Tiler(grid=list(grid), overlap=0)
     tiler.compute_limits_by_grid(np.empty(img.shape[:2]))
@@ -68,6 +79,11 @@ def track_features(
     seed_idx = np.zeros((t, k), np.int64)
     seed_valid = np.zeros((t, k), bool)
     for ti, rows in enumerate(slot_rows):
+        if len(rows) > k:
+            logger.warning(
+                "tile %d: %d seeds exceed matcher capacity %d — %d "
+                "tracks dropped (raise max_keypoints or tracking grid)",
+                ti, len(rows), k, len(rows) - k)
         rows = rows[:k]
         seed_idx[ti, : len(rows)] = rows
         seed_valid[ti, : len(rows)] = True
@@ -109,7 +125,7 @@ def track_features(
         matched = sv & (m0[ti] > -1)
         rows = seed_idx[ti][matched]
         j = m0[ti][matched]
-        new_kpts[rows] = new_tile_kpts[ti][j] + origins[ti]
+        new_kpts[rows] = (new_tile_kpts[ti][j] + origins[ti]) / scale
         new_descr[rows] = new_tile_descr[ti][j]
         new_scores[rows] = new_tile_scores[ti][j]
         found[rows] = True
@@ -123,6 +139,7 @@ def track_matches(
     prev_features: dict[str, Features],
     new_images: dict[str, np.ndarray],
     grid=(1, 1),
+    quality: str = "high",
 ) -> dict[str, Features]:
     """Propagate the previous epoch's tracked features into a new epoch.
 
@@ -150,7 +167,7 @@ def track_matches(
         }
         nk, ok, nd, ns = track_features(
             matcher, aligned["kpts"], aligned["descr"], aligned["scores"],
-            new_images[cam], grid=grid,
+            new_images[cam], grid=grid, quality=quality,
         )
         per_cam[cam] = (nk, ok, nd, ns, aligned["ids"])
         found_all &= ok

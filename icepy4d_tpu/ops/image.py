@@ -116,8 +116,13 @@ def compute_tile_limits(
     lims = []
     for r in range(rows):
         for c in range(cols):
-            x0 = min(max(c * dx - overlap, 0), w - tw)
-            y0 = min(max(r * dy - overlap, 0), h - th)
+            # pin the last row/column to the image edge: the 10-px step
+            # rounding would otherwise leave an uncovered strip where
+            # features could never be detected or tracked
+            x0 = w - tw if c == cols - 1 else \
+                min(max(c * dx - overlap, 0), w - tw)
+            y0 = h - th if r == rows - 1 else \
+                min(max(r * dy - overlap, 0), h - th)
             lims.append([x0, y0, tw, th])
     return np.asarray(lims, np.int32)
 

@@ -141,19 +141,22 @@ class Pipeline:
         im0 = epoch.images[self.cams[0]].value
         im1 = epoch.images[self.cams[1]].value
 
+        quality = Quality[str(cfg.get("quality", "high")).upper()]
         if prev is not None and bool(proc.get("do_tracking", False)) \
                 and all(len(prev.features[c]) for c in self.cams):
             tracked = track_matches(
                 self.matcher, {c: prev.features[c] for c in self.cams},
                 {self.cams[0]: im0, self.cams[1]: im1},
                 grid=tuple(cfg.get("tracking_grid", (1, 1))),
+                quality=str(cfg.get("quality", "high")),
             )
         else:
             tracked = None
 
-        quality = Quality[str(cfg.get("quality", "high")).upper()]
         tile = TileSelection[str(cfg.get("tile_selection",
                                          "none")).upper()]
+        gv = GeometricVerification[str(cfg.get(
+            "geometric_verification", "pydegensac")).upper()]
         self.matcher.match(
             im0, im1,
             quality=quality,
@@ -162,7 +165,8 @@ class Pipeline:
             overlap=int(cfg.get("overlap", 0)),
             threshold=float(self.cfg.get("other", {}).get(
                 "pydegensac_threshold", 1.0)),
-            geometric_verification=GeometricVerification.PYDEGENSAC,
+            confidence=float(cfg.get("confidence", 0.9999)),
+            geometric_verification=gv,
         )
         mk0, mk1 = self.matcher.mkpts0, self.matcher.mkpts1
         if len(mk0) < 8:
@@ -331,27 +335,19 @@ class Pipeline:
 
     # -- main loop -------------------------------------------------------------
 
-    def process_epoch(self, ep: int, prev: Epoch | None = None) -> Epoch:
-        proc = self.cfg.get("proc", DotDict())
-        epoch = self._initialize_epoch(ep)
-        pkl = epoch.epoch_dir / f"{epoch.date_str}.pickle"
-        if bool(proc.get("load_existing_results", False)) and pkl.exists():
-            try:
-                loaded = Epoch.read_pickle(pkl)
-                logger.info("epoch %s loaded from checkpoint",
-                            epoch.date_str)
-                return loaded
-            except Exception as e:  # corrupted checkpoint -> rebuild
-                logger.warning("re-processing epoch %s: %s",
-                               epoch.date_str, e)
+    def _bump_track_ids(self, epoch: Epoch) -> None:
+        """Keep the global allocator ahead of any ids already in use
+        (checkpoint resume would otherwise reissue them and silently
+        break 4D track continuity)."""
+        for c in self.cams:
+            ids = epoch.features[c].track_ids_to_numpy()
+            if len(ids):
+                self._next_track_id = max(self._next_track_id,
+                                          int(ids.max()) + 1)
 
-        self._match_epoch(epoch, prev)
-        pts3d = self._orient_epoch(epoch)
-        if pts3d is not None and bool(proc.get("do_ba", True)):
-            pts3d = self._bundle_epoch(epoch, pts3d)
-        if pts3d is not None and len(pts3d) > 10 \
-                and bool(proc.get("do_dense", False)):
-            self._dense_epoch(epoch, pts3d)
+    def _finalize_epoch(self, epoch: Epoch, pts3d) -> None:
+        """Points + CSV sinks + checkpoint (shared by run/run_batched)."""
+        proc = self.cfg.get("proc", DotDict())
         if pts3d is not None:
             feats0 = epoch.features[self.cams[0]]
             pts_obj = Points()
@@ -370,7 +366,32 @@ class Pipeline:
                 epoch.date_str, {c: epoch.cameras[c] for c in self.cams})
         if bool(proc.get("save_checkpoints", True)):
             epoch.epoch_dir.mkdir(parents=True, exist_ok=True)
-            epoch.save_pickle(pkl)
+            epoch.save_pickle(
+                epoch.epoch_dir / f"{epoch.date_str}.pickle")
+
+    def process_epoch(self, ep: int, prev: Epoch | None = None) -> Epoch:
+        proc = self.cfg.get("proc", DotDict())
+        epoch = self._initialize_epoch(ep)
+        pkl = epoch.epoch_dir / f"{epoch.date_str}.pickle"
+        if bool(proc.get("load_existing_results", False)) and pkl.exists():
+            try:
+                loaded = Epoch.read_pickle(pkl)
+                self._bump_track_ids(loaded)
+                logger.info("epoch %s loaded from checkpoint",
+                            epoch.date_str)
+                return loaded
+            except Exception as e:  # corrupted checkpoint -> rebuild
+                logger.warning("re-processing epoch %s: %s",
+                               epoch.date_str, e)
+
+        self._match_epoch(epoch, prev)
+        pts3d = self._orient_epoch(epoch)
+        if pts3d is not None and bool(proc.get("do_ba", True)):
+            pts3d = self._bundle_epoch(epoch, pts3d)
+        if pts3d is not None and len(pts3d) > 10 \
+                and bool(proc.get("do_dense", False)):
+            self._dense_epoch(epoch, pts3d)
+        self._finalize_epoch(epoch, pts3d)
         return epoch
 
     def run_batched(self, mesh=None, tp: int = 1) -> Epoches:
@@ -386,7 +407,9 @@ class Pipeline:
         import jax
         import jax.numpy as jnp
 
+        from icepy4d_tpu.matching.enums import QUALITY_SCALE
         from icepy4d_tpu.matching.matchers import _preprocess
+        from icepy4d_tpu.ops.geometry import scale_intrinsics
         from icepy4d_tpu.parallel import make_mesh, make_sharded_match_step
 
         if not hasattr(self.matcher, "matcher"):
@@ -396,18 +419,26 @@ class Pipeline:
 
         proc = self.cfg.get("proc", DotDict())
         m_cfg = self.cfg.get("matching", DotDict())
-        qname = str(m_cfg.get("quality", "low")).lower()
+        qname = str(m_cfg.get("quality", "high")).lower()
+        scale = QUALITY_SCALE[Quality[qname.upper()]]
         todo = proc.get("epoch_to_process", "all")
         if todo == "all" or todo is None:
             todo = list(range(len(self.epoch_map)))
         todo = [e for e in todo if e < len(self.epoch_map)]
+        if not todo:
+            logger.warning("run_batched: no epochs to process")
+            return self.epoches
 
         sp = self.matcher._superpoint(self.matcher._max_keypoints)
         step = make_sharded_match_step(mesh, sp, self.matcher.matcher)
 
         epochs = [self._initialize_epoch(ep) for ep in todo]
-        K0 = jnp.asarray(epochs[0].cameras[self.cams[0]].K)
-        K1 = jnp.asarray(epochs[0].cameras[self.cams[1]].K)
+        # intrinsics must live at the SAME scale as the resized frames
+        # the step matches on (the on-device RANSAC normalizes with K)
+        K0 = scale_intrinsics(
+            jnp.asarray(epochs[0].cameras[self.cams[0]].K), scale)
+        K1 = scale_intrinsics(
+            jnp.asarray(epochs[0].cameras[self.cams[1]].K), scale)
 
         for g0 in range(0, len(todo), b):
             group = list(range(g0, min(g0 + b, len(todo))))
@@ -423,8 +454,6 @@ class Pipeline:
             out = step(self.matcher._sp_params,
                        self.matcher._matcher_params, ims0, ims1, K0, K1)
             out = jax.tree.map(np.asarray, out)
-            scale = {"highest": 2.0, "high": 1.0, "medium": 0.5,
-                     "low": 0.25}[qname]
             for j, i in enumerate(group):
                 epoch = epochs[i]
                 valid = out["valid"][j]
@@ -441,6 +470,7 @@ class Pipeline:
                 pts3d = self._orient_epoch(epoch)
                 if pts3d is not None and bool(proc.get("do_ba", True)):
                     pts3d = self._bundle_epoch(epoch, pts3d)
+                self._finalize_epoch(epoch, pts3d)
                 self.epoches.add_epoch(epoch, todo[i])
             logger.info("batched group %s done", [todo[i] for i in group])
         return self.epoches

@@ -138,3 +138,34 @@ def test_pipeline_dense_step(cfg):
 
         plys = list(Path(ep.epoch_dir).glob("dense_*.ply"))
         assert plys
+
+
+def test_resume_preserves_track_id_continuity(cfg):
+    """After resuming from checkpoints, newly allocated track ids must
+    not collide with ids already used in loaded epochs."""
+    import copy
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    rcfg = DotDict.wrap(copy.deepcopy(dict(cfg)))
+    import tempfile
+
+    rcfg.paths.results_dir = tempfile.mkdtemp()
+    rcfg.proc.epoch_to_process = [0]
+    rcfg.proc.do_tracking = False
+    rcfg.proc.save_checkpoints = True
+    rcfg.proc.load_existing_results = False
+    p1 = Pipeline(rcfg)
+    e0 = p1.run()[0]
+    ids0 = set(e0.features["cam1"].track_ids_to_numpy().tolist())
+
+    # resume: epoch 0 loads from pickle, epoch 1 is new
+    rcfg.proc.epoch_to_process = [0, 1]
+    rcfg.proc.load_existing_results = True
+    p2 = Pipeline(rcfg)
+    eps = p2.run()
+    ids0b = set(eps[0].features["cam1"].track_ids_to_numpy().tolist())
+    ids1 = set(eps[1].features["cam1"].track_ids_to_numpy().tolist())
+    assert ids0b == ids0                 # loaded epoch untouched
+    assert not (ids1 & ids0)             # fresh ids do not collide
