@@ -143,7 +143,11 @@ class EpochDataMap:
         time_tolerance_sec: float = 180.0,
         min_images: int = 2,
         write_csv: bool = True,
+        use_mtime_fallback: bool = False,
     ):
+        """use_mtime_fallback: timestamp EXIF-less images from the file
+        modification time (synthetic/consumer datasets; the reference is
+        EXIF-only)."""
         self.image_dir = Path(image_dir)
         cams = sorted(p.name for p in self.image_dir.iterdir() if p.is_dir())
         if not cams:
@@ -154,6 +158,15 @@ class EpochDataMap:
         self.min_images = min_images
 
         self._datastores = {c: ImageDS(self.image_dir / c) for c in cams}
+        if use_mtime_fallback:
+            from datetime import datetime as _dt
+            import os
+
+            for ds in self._datastores.values():
+                for im in ds:
+                    if im.datetime is None:
+                        im._datetime = _dt.fromtimestamp(
+                            os.path.getmtime(im.path))
         self._map: dict[int, dict] = {}
         self._build_map()
         if write_csv:

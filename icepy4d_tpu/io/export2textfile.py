@@ -40,10 +40,12 @@ def compute_reprojection_residuals(
     """Per-camera residual arrays {cam: (N, 2)} + norms {cam: (N,)}."""
     res = {}
     for name, cam in cameras.items():
-        proj = np.asarray(cam.project_point(
-            np.asarray(points3d, np.float32)))
-        r = proj - np.asarray(image_points[name], np.float32)
-        res[name] = r
+        xy = np.asarray(image_points[name], np.float32)
+        ok = np.isfinite(xy).all(axis=1)  # NaN = unseen by this camera
+        pts = np.asarray(points3d, np.float32)[ok]
+        proj = np.asarray(cam.project_point(pts)) if len(pts) else \
+            np.zeros((0, 2), np.float32)
+        res[name] = proj - xy[ok]
     return res
 
 

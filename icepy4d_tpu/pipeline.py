@@ -65,6 +65,8 @@ class Pipeline:
             master_camera=cfg.paths.get("master_camera"),
             time_tolerance_sec=int(cfg.get("proc", {}).get(
                 "time_tolerance_sec", 1200)),
+            use_mtime_fallback=bool(cfg.get("proc", {}).get(
+                "use_mtime_fallback", False)),
         )
         self.cams = self.epoch_map.cameras
         self.epoches = Epoches()
@@ -333,6 +335,141 @@ class Pipeline:
         logger.info("epoch %s dense cloud: %d points", epoch.date_str,
                     len(pc))
 
+    # -- multi-camera (n > 2) ----------------------------------------------------
+
+    def _process_multicam(self, epoch: Epoch):
+        """Master-centric n-camera epoch: match master vs every slave,
+        merge per-slave matches into tracks keyed by the (deterministic)
+        master keypoint, orient each slave against the master, then
+        triangulate + absolute orientation + BA over the full (P, C)
+        observation grid. (Beyond the reference, which is stereo-only;
+        temporal tracking is not yet wired for n > 2.)"""
+        cfg = self.cfg.get("matching", DotDict())
+        g = self.cfg.get("georef", DotDict())
+        master = self.cams[0]
+        slaves = self.cams[1:]
+        im_m = epoch.images[master].value
+        quality = Quality[str(cfg.get("quality", "high")).upper()]
+        tile = TileSelection[str(cfg.get("tile_selection",
+                                         "none")).upper()]
+
+        tracks: dict[tuple, dict] = {}
+        for sl in slaves:
+            self.matcher.match(
+                im_m, epoch.images[sl].value,
+                quality=quality, tile_selection=tile,
+                grid=list(cfg.get("grid", [1, 1])),
+                overlap=int(cfg.get("overlap", 0)),
+                threshold=float(self.cfg.get("other", {}).get(
+                    "pydegensac_threshold", 1.0)),
+            )
+            for xym, xys in zip(self.matcher.mkpts0, self.matcher.mkpts1):
+                key = (round(float(xym[0]) * 10),
+                       round(float(xym[1]) * 10))
+                e = tracks.setdefault(key, {"m": xym, "obs": {}})
+                e["obs"][sl] = xys
+        if len(tracks) < 8:
+            logger.warning("epoch %s: %d multicam tracks",
+                           epoch.date_str, len(tracks))
+            return None, None
+
+        track_list = list(tracks.values())
+        p = len(track_list)
+        ids = np.arange(self._next_track_id, self._next_track_id + p,
+                        dtype=np.int32)
+        self._next_track_id += p
+        xy = {master: np.stack([t["m"] for t in track_list])}
+        for sl in slaves:
+            a = np.full((p, 2), np.nan, np.float32)
+            for i, t in enumerate(track_list):
+                if sl in t["obs"]:
+                    a[i] = t["obs"][sl]
+            xy[sl] = a
+
+        # per-slave relative orientation (scale from surveyed centers)
+        centers = g.get("camera_centers_world", None)
+        cam_m = epoch.cameras[master]
+        for si, sl in enumerate(slaves, start=1):
+            seen = np.isfinite(xy[sl]).all(axis=1)
+            if seen.sum() < 8:
+                continue
+            baseline = (float(np.linalg.norm(
+                np.asarray(centers[0]) - np.asarray(centers[si])))
+                if centers is not None else None)
+            rel = RelativeOrientation(
+                [cam_m, epoch.cameras[sl]],
+                [xy[master][seen], xy[sl][seen]])
+            valid = np.asarray(rel.estimate_pose(
+                threshold=float(self.cfg.get("other", {}).get(
+                    "pydegensac_threshold", 1.0)),
+                scale_factor=baseline), bool)
+            epoch.cameras[sl] = rel.cameras[1]
+            bad = np.where(seen)[0][~valid]
+            xy[sl][bad] = np.nan  # outliers: drop this slave's obs
+
+        # triangulate each track with the first slave that sees it
+        pts3d = np.full((p, 3), np.nan, np.float32)
+        for sl in slaves:
+            todo = np.isnan(pts3d[:, 0]) & np.isfinite(xy[sl]).all(axis=1)
+            if todo.sum() < 2:
+                continue
+            tri = Triangulate([cam_m, epoch.cameras[sl]],
+                              [xy[master][todo], xy[sl][todo]])
+            pts3d[todo] = tri.triangulate_two_views()
+        ok = np.isfinite(pts3d).all(axis=1)
+        pts3d = np.where(ok[:, None], pts3d, 0.0)
+
+        # absolute orientation on targets
+        if epoch.targets is not None and centers is not None:
+            labels = list(g.get("targets_to_use", []))
+            t_world, found = epoch.targets.get_object_coor_by_label(labels)
+            t_im, all_found = [], len(found) >= 2
+            for i, c in enumerate(self.cams):
+                txy, f2 = epoch.targets.get_image_coor_by_label(found, i)
+                if len(f2) != len(found):
+                    all_found = False
+                t_im.append(txy)
+            if all_found:
+                abso = AbsoluteOrientation(
+                    tuple(epoch.cameras[c] for c in self.cams),
+                    points3d_final=t_world, image_points=tuple(t_im[:2]),
+                    camera_centers_world=tuple(
+                        np.asarray(cc) for cc in centers),
+                )
+                abso.estimate_transformation_linear(estimate_scale=True)
+                pts3d = abso.apply_transformation(points3d=pts3d)
+                for i, c in enumerate(self.cams):
+                    epoch.cameras[c] = abso.cameras[i]
+
+        # BA over the full (P, C) grid
+        if bool(self.cfg.get("proc", DotDict()).get("do_ba", True)):
+            ba_cfg = self.cfg.get("ba", DotDict())
+            cam_centers = ({c: np.asarray(centers[i])
+                            for i, c in enumerate(self.cams)}
+                           if centers is not None else {})
+            ba = BundleAdjustment(
+                {c: epoch.cameras[c] for c in self.cams}, xy,
+                np.asarray(pts3d, np.float32),
+                camera_centers=cam_centers,
+                cfg=BAConfig(
+                    camera_center_sigma_m=float(
+                        ba_cfg.get("camera_location_accuracy", 0.5)),
+                    fit_f=bool(ba_cfg.get("fit_f", False)),
+                    max_iters=int(ba_cfg.get("max_iters", 60))))
+            out = ba.run()
+            for c in self.cams:
+                epoch.cameras[c] = out.cameras[c]
+            pts3d = out.points
+
+        # store per-camera Features (master: all tracks; slaves: seen)
+        for c in self.cams:
+            seen = np.isfinite(xy[c]).all(axis=1)
+            feats = Features()
+            feats.append_features_from_numpy(
+                xy[c][seen], track_ids=ids[seen])
+            epoch.features[c] = feats
+        return pts3d, xy
+
     # -- main loop -------------------------------------------------------------
 
     def _bump_track_ids(self, epoch: Epoch) -> None:
@@ -345,8 +482,12 @@ class Pipeline:
                 self._next_track_id = max(self._next_track_id,
                                           int(ids.max()) + 1)
 
-    def _finalize_epoch(self, epoch: Epoch, pts3d) -> None:
-        """Points + CSV sinks + checkpoint (shared by run/run_batched)."""
+    def _finalize_epoch(self, epoch: Epoch, pts3d,
+                        image_points: dict | None = None) -> None:
+        """Points + CSV sinks + checkpoint (shared by run/run_batched).
+
+        image_points: optional {cam: (P, 2) NaN-padded} grid aligned with
+        pts3d (multicam); defaults to the per-camera feature arrays."""
         proc = self.cfg.get("proc", DotDict())
         if pts3d is not None:
             feats0 = epoch.features[self.cams[0]]
@@ -355,12 +496,15 @@ class Pipeline:
                 pts3d,
                 track_ids=feats0.track_ids_to_numpy()[:len(pts3d)])
             epoch.points = pts_obj
+            if image_points is None:
+                image_points = {
+                    c: epoch.features[c].kpts_to_numpy()[:len(pts3d)]
+                    for c in self.cams}
             # CSV sinks (ref main_dev.py:424-427)
             write_reprojection_error_to_file(
                 self.results_dir / "residuals_image.csv", epoch.date_str,
                 {c: epoch.cameras[c] for c in self.cams}, pts3d,
-                {c: epoch.features[c].kpts_to_numpy()[:len(pts3d)]
-                 for c in self.cams})
+                image_points)
             write_cameras_to_file(
                 self.results_dir / "estimated_cameras.csv",
                 epoch.date_str, {c: epoch.cameras[c] for c in self.cams})
@@ -384,14 +528,18 @@ class Pipeline:
                 logger.warning("re-processing epoch %s: %s",
                                epoch.date_str, e)
 
-        self._match_epoch(epoch, prev)
-        pts3d = self._orient_epoch(epoch)
-        if pts3d is not None and bool(proc.get("do_ba", True)):
-            pts3d = self._bundle_epoch(epoch, pts3d)
+        image_points = None
+        if len(self.cams) > 2:
+            pts3d, image_points = self._process_multicam(epoch)
+        else:
+            self._match_epoch(epoch, prev)
+            pts3d = self._orient_epoch(epoch)
+            if pts3d is not None and bool(proc.get("do_ba", True)):
+                pts3d = self._bundle_epoch(epoch, pts3d)
         if pts3d is not None and len(pts3d) > 10 \
                 and bool(proc.get("do_dense", False)):
             self._dense_epoch(epoch, pts3d)
-        self._finalize_epoch(epoch, pts3d)
+        self._finalize_epoch(epoch, pts3d, image_points)
         return epoch
 
     def run_batched(self, mesh=None, tp: int = 1) -> Epoches:
