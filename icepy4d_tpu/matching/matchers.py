@@ -724,12 +724,53 @@ class SemiDenseMatcher(NearestNeighborMatcher):
 
     Like LoFTR it returns keypoints without descriptoral sparsity —
     useful on weak-texture surfaces (snow/ice) where detectors starve.
+
+    opt "refine" (default True) adds LoFTR's fine stage analogue: each
+    coarse match is refined to subpixel with the OC template correlator
+    (matching/templatematch.py) seeded at the coarse displacement.
     """
 
     def _build_models(self, opt: dict) -> None:
         super()._build_models(opt)
         self._grid_pool = int(opt.get("grid_pool", 2))
         self._sim_th = float(opt.get("distance_threshold", 0.8))
+        self._refine = bool(opt.get("refine", True))
+        self._refine_template = int(opt.get("refine_template", 16))
+        self._refine_search = int(opt.get("refine_search", 32))
+
+    def _refine_matches(self, img0, img1, mk0, mk1):
+        """Subpixel refinement of coarse grid matches by orientation
+        correlation; failures keep the coarse position."""
+        from icepy4d_tpu.matching.templatematch import forient, oc_track
+
+        if len(mk0) == 0:
+            return mk1
+        A = forient(jnp.asarray(img0, jnp.float32))
+        B = forient(jnp.asarray(img1, jnp.float32))
+        res = oc_track(
+            A, B, mk0,
+            template_width=self._refine_template,
+            search_width=self._refine_search,
+            initialdu=(mk1[:, 0] - mk0[:, 0]).astype(np.float64),
+            initialdv=(mk1[:, 1] - mk0[:, 1]).astype(np.float64),
+        )
+        ok = np.isfinite(res.du) & (res.snr > 1.5)
+        refined = mk1.copy()
+        # pu/pv are the rounded centers actually used by the correlator
+        refined[ok, 0] = (res.pu + res.du)[ok] + (mk0[ok, 0] - res.pu[ok])
+        refined[ok, 1] = (res.pv + res.dv)[ok] + (mk0[ok, 1] - res.pv[ok])
+        logger.info("semi-dense refinement: %d / %d matches refined",
+                    int(ok.sum()), len(ok))
+        return refined.astype(np.float32)
+
+    def _match_full(self, img0, img1, max_keypoints=None):
+        res = super()._match_full(img0, img1, max_keypoints)
+        if self._refine and len(res[0]):
+            mk0, mk1, d0, d1, s0, s1, conf = res
+            mk1 = self._refine_matches(np.asarray(img0), np.asarray(img1),
+                                       mk0, mk1)
+            res = (mk0, mk1, d0, d1, s0, s1, conf)
+        return res
 
     def _extract(self, tiles: jnp.ndarray, max_keypoints: int) -> dict:
         sp = self._superpoint(max_keypoints)

@@ -236,3 +236,40 @@ def test_semidense_matcher_recovers_shift(checker_pair):
     assert len(m.mkpts0) > 300
     dx = np.median(m.mkpts0[:, 0] - m.mkpts1[:, 0])
     assert abs(dx - 8.0) < 1.0  # 8 px = one grid cell at pool=1
+
+
+def test_semidense_refinement_improves_subpixel(checker_pair):
+    """OC refinement recovers a non-grid-aligned shift the coarse grid
+    cannot represent (coarse cells are 8/16 px)."""
+    import cv2
+
+    from icepy4d_tpu.matching import SemiDenseMatcher
+
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(size=(30, 41)).astype(np.float32)
+    base = np.clip(cv2.resize(lo, (328, 240),
+                              interpolation=cv2.INTER_CUBIC) * 255,
+                   0, 255).astype(np.uint8)
+    M = np.float32([[1, 0, -5.4], [0, 1, 2.3]])
+    img0 = base[:, :320]
+    img1 = cv2.warpAffine(img0, M, (320, 240))
+
+    kwargs = dict(quality=Quality.HIGH, tile_selection=TileSelection.NONE,
+                  geometric_verification=GeometricVerification.NONE)
+    coarse = SemiDenseMatcher({"grid_pool": 1, "distance_threshold": 0.3,
+                               "refine": False})
+    coarse.match(img0, img1, **kwargs)
+    fine = SemiDenseMatcher({"grid_pool": 1, "distance_threshold": 0.3,
+                             "refine": True})
+    fine.match(img0, img1, **kwargs)
+    assert len(fine.mkpts0) > 100
+
+    def err(m):
+        # warpAffine (forward M): content at x0 lands at x0 + (-5.4, 2.3)
+        d = m.mkpts1 - m.mkpts0
+        return np.abs(np.median(d[:, 0]) + 5.4) + \
+            np.abs(np.median(d[:, 1]) - 2.3)
+
+    # grid-quantized coarse matches can't express the fractional shift
+    assert err(fine) < 0.3
+    assert err(fine) < err(coarse)

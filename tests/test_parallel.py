@@ -124,3 +124,28 @@ def test_sequence_parallel_lightglue_matches_dense():
     np.testing.assert_allclose(np.asarray(sp["mscores0"])[ok],
                                np.asarray(dense["mscores0"])[ok],
                                rtol=1e-3, atol=1e-5)
+
+
+def test_batched_ba_shards_over_mesh():
+    """A season of BA problems sharded over the data axis: one program,
+    per-epoch problems on separate devices."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_ba import _make_scene, _problem
+
+    from icepy4d_tpu.ops.ba import lm_solve_batched
+
+    mesh = make_mesh(8)
+    probs = []
+    for seed in range(8):
+        cam_theta, intr, pts, obs = _make_scene(n_pts=60, seed=seed,
+                                                noise_px=0.3)
+        probs.append(_problem(cam_theta, intr, pts, obs,
+                              cam_fixed=jnp.asarray([True, True, False])))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    batched = shard_batch(mesh, batched)
+    res = lm_solve_batched(batched, max_iters=30)
+    assert res.cost.shape == (8,)
+    for i in range(8):
+        assert float(res.cost[i]) < float(res.initial_cost[i])
