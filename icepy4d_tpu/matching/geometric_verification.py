@@ -54,16 +54,23 @@ def geometric_verification(
 
     n_hyp = int(min(max_iters, 2048))
     key = jax.random.PRNGKey(seed)
+    # pow2 padding: match counts vary per call; exact shapes would
+    # recompile the RANSAC program every epoch
+    cap = 1 << (n - 1).bit_length()
+    pk0 = np.zeros((cap, 2), np.float32)
+    pk1 = np.zeros((cap, 2), np.float32)
+    pk0[:n] = mkpts0
+    pk1[:n] = mkpts1
     F, inl = ransac_fundamental(
         key,
-        mkpts0,
-        mkpts1,
-        np.ones(n, bool),
+        pk0,
+        pk1,
+        np.arange(cap) < n,
         threshold=float(threshold),
         n_hypotheses=n_hyp,
     )
     F = np.asarray(F, np.float64)
-    inl = np.asarray(inl, bool)
+    inl = np.asarray(inl, bool)[:n]
     if not quiet:
         logger.info(
             "Geometric verification: %d / %d inliers (%.1f%%)",

@@ -38,21 +38,30 @@ def estimate_pose(
     """
     kpts0 = np.asarray(kpts0, np.float32).reshape(-1, 2)
     kpts1 = np.asarray(kpts1, np.float32).reshape(-1, 2)
-    if len(kpts0) < 5:
+    n = len(kpts0)
+    if n < 5:
         return None
-    mask = jnp.ones((len(kpts0),), bool)
+    # pad to a power-of-two bucket: match counts vary per call, and an
+    # exact-shape jit would recompile every epoch
+    cap = 1 << (n - 1).bit_length()
+    pk0 = np.zeros((cap, 2), np.float32)
+    pk1 = np.zeros((cap, 2), np.float32)
+    pk0[:n] = kpts0
+    pk1[:n] = kpts1
+    mask = jnp.asarray(np.arange(cap) < n)
     key = jax.random.PRNGKey(seed)
     R, t, _E, inliers = ransac_ops.ransac_essential_pose(
         key,
-        jnp.asarray(kpts0),
-        jnp.asarray(kpts1),
+        jnp.asarray(pk0),
+        jnp.asarray(pk1),
         jnp.asarray(K0, jnp.float32),
         jnp.asarray(K1, jnp.float32),
         mask,
         threshold_px=float(thresh),
         n_hypotheses=n_hypotheses,
     )
-    return np.asarray(R), np.asarray(t).reshape(3, 1), np.asarray(inliers)
+    return (np.asarray(R), np.asarray(t).reshape(3, 1),
+            np.asarray(inliers)[:n])
 
 
 def project_points(points_3d, camera, image=None):

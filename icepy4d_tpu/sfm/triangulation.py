@@ -46,8 +46,17 @@ class Triangulate:
         """
         cam0 = self.cameras[views_ids[0]]
         cam1 = self.cameras[views_ids[1]]
-        pts0 = jnp.asarray(self.image_points[views_ids[0]], jnp.float32)
-        pts1 = jnp.asarray(self.image_points[views_ids[1]], jnp.float32)
+        p0 = np.asarray(self.image_points[views_ids[0]], np.float32)
+        p1 = np.asarray(self.image_points[views_ids[1]], np.float32)
+        n = len(p0)
+        # pow2 padding keeps jit caches stable across varying match counts
+        cap = max(1 << (max(n, 1) - 1).bit_length(), 8)
+        pad0 = np.zeros((cap, 2), np.float32)
+        pad1 = np.zeros((cap, 2), np.float32)
+        pad0[:n] = p0
+        pad1[:n] = p1
+        pts0 = jnp.asarray(pad0)
+        pts1 = jnp.asarray(pad1)
         pts0u = geom.undistort_points(pts0, cam0.K, cam0.dist)
         pts1u = geom.undistort_points(pts1, cam1.K, cam1.dist)
 
@@ -57,14 +66,15 @@ class Triangulate:
             )
             logger.info(
                 "Point triangulation succeeded: %.3f",
-                float(jnp.mean(status.astype(jnp.float32))),
+                float(jnp.mean(status[:n].astype(jnp.float32)))
+                if n else 0.0,
             )
         elif approach == "linear_triangulation":
             pts3d = tri.linear_eigen_triangulation(pts0u, pts1u, cam0.P, cam1.P)
         else:
             raise ValueError(f"Unknown triangulation approach {approach!r}")
 
-        self.points3d = np.asarray(pts3d)
+        self.points3d = np.asarray(pts3d)[:n]
         if compute_colors:
             assert image is not None, "image required for color interpolation"
             self.interpolate_colors_from_image(image, self.cameras[cam_id])
