@@ -75,7 +75,7 @@ def keypoint_encoder(layers: list, kpts_n: Array, scores: Array) -> Array:
 
 
 def _attn_propagation(p: dict, x: Array, source: Array, src_mask: Array,
-                      num_heads: int) -> Array:
+                      num_heads: int, attn=None) -> Array:
     """delta = MLP([x | MHA(x, source, source)]) (ref superglue.py:118-129).
 
     torch splits Conv1d channels as (head_dim, num_heads) — channel
@@ -92,7 +92,7 @@ def _attn_propagation(p: dict, x: Array, source: Array, src_mask: Array,
     q = heads(_linear(p["q"], x))
     k = heads(_linear(p["k"], source))
     v = heads(_linear(p["v"], source))
-    ctx = masked_attention(q, k, v, src_mask)
+    ctx = (attn or masked_attention)(q, k, v, src_mask)
     ctx = ctx.transpose(0, 2, 3, 1).reshape(b, n, d)
     message = _linear(p["merge"], ctx)
     return _mlp(p["mlp"], jnp.concatenate([x, message], -1))

@@ -20,3 +20,6 @@ from icepy4d_tpu.parallel.ring_attention import (  # noqa: F401
 from icepy4d_tpu.parallel.lightglue_sp import (  # noqa: F401
     make_sequence_parallel_lightglue,
 )
+from icepy4d_tpu.parallel.superglue_sp import (  # noqa: F401
+    make_sequence_parallel_superglue,
+)

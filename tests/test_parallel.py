@@ -149,3 +149,45 @@ def test_batched_ba_shards_over_mesh():
     assert res.cost.shape == (8,)
     for i in range(8):
         assert float(res.cost[i]) < float(res.initial_cost[i])
+
+
+def test_sequence_parallel_superglue_matches_dense():
+    """Token-sharded SuperGlue (rows-sharded Sinkhorn) == dense."""
+    from icepy4d_tpu.models.superglue import SuperGlue
+    from icepy4d_tpu.parallel import make_sequence_parallel_superglue
+
+    mesh = make_mesh(8, dp=1, tp=8, axis_names=("data", "seq"))
+    sg = SuperGlue(sinkhorn_iterations=15, match_threshold=0.0,
+                   precision="highest")
+    params = sg.init(0)
+    sp_sg = make_sequence_parallel_superglue(mesh, sg, axis="seq")
+
+    rng = np.random.default_rng(4)
+    b, n = 2, 128
+    data = {}
+    for s in (0, 1):
+        kpts = rng.uniform(0, [640, 480], (b, n, 2)).astype(np.float32)
+        d = rng.normal(size=(b, n, 256)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        mask = rng.uniform(size=(b, n)) > 0.2
+        data[f"kpts{s}"] = jnp.asarray(kpts)
+        data[f"desc{s}"] = jnp.asarray(d)
+        data[f"scores{s}"] = jnp.asarray(
+            rng.uniform(size=(b, n)).astype(np.float32))
+        data[f"mask{s}"] = jnp.asarray(mask)
+        data[f"size{s}"] = jnp.broadcast_to(
+            jnp.asarray([640.0, 480.0]), (b, 2))
+
+    dense = sg.match(params, data)
+    sp = sp_sg(params, data)
+    m0_d = np.asarray(dense["matches0"])
+    m0_s = np.asarray(sp["matches0"])
+    agree = (m0_d == m0_s).mean()
+    assert agree > 0.99, f"matches0 agreement {agree}"
+    ok = m0_d > -1
+    np.testing.assert_allclose(np.asarray(sp["mscores0"])[ok],
+                               np.asarray(dense["mscores0"])[ok],
+                               rtol=1e-3, atol=1e-5)
+    m1_agree = (np.asarray(dense["matches1"])
+                == np.asarray(sp["matches1"])).mean()
+    assert m1_agree > 0.99, f"matches1 agreement {m1_agree}"
