@@ -584,6 +584,14 @@ class ImageMatcherBase:
             self._filter_matches_by_mask(mask)
             self.timer.update("geometric_verification")
 
+        if bool(config.get("do_viz_matches", False)) \
+                and save_dir is not None:
+            from icepy4d_tpu.visualization import plot_matches_cv2
+
+            plot_matches_cv2(
+                np.asarray(image0), np.asarray(image1),
+                self._mkpts0, self._mkpts1,
+                path=str(Path(save_dir) / "matches.png"))
         if save_dir is not None:
             self.save_mkpts_as_txt(save_dir)
         self.timer.print("Matching")

@@ -201,3 +201,51 @@ def load_torch_superglue(path, n_layers: int = 18) -> dict:
 
     return superglue_params_from_torch(torch.load(path, map_location="cpu"),
                                        n_layers)
+
+
+# ---------------------------------------------------------------------------
+# Param persistence (converted checkpoints -> portable npz)
+# ---------------------------------------------------------------------------
+
+def save_params(path, params) -> None:
+    """Save a JAX param pytree to one .npz (flat slash-joined keys)."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path) -> dict:
+    """Inverse of save_params; integer path segments rebuild lists."""
+    import numpy as np
+
+    data = np.load(path)
+    root: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = root
+        for p_, nxt in zip(parts[:-1], parts[1:]):
+            node = node.setdefault(p_, {})
+        node[parts[-1]] = data[key]
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)

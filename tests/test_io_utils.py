@@ -306,3 +306,38 @@ def test_dem_of_difference_class(tmp_path):
     dod.write_result_to_file(tmp_path / "vol.csv", label="2022-05")
     txt = (tmp_path / "vol.csv").read_text().splitlines()
     assert len(txt) == 2 and txt[1].startswith("2022-05")
+
+
+def test_params_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from icepy4d_tpu.models.convert import load_params, save_params
+    from icepy4d_tpu.models.lightglue import LightGlue
+
+    lg = LightGlue(n_layers=2)
+    params = lg.init(0)
+    save_params(tmp_path / "lg.npz", params)
+    back = load_params(tmp_path / "lg.npz")
+    assert isinstance(back["layers"], list) and len(back["layers"]) == 2
+
+    import jax
+
+    leaves0 = jax.tree.leaves(params)
+    leaves1 = jax.tree.leaves(back)
+    assert len(leaves0) == len(leaves1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # loaded params drive the model identically
+    rng = np.random.default_rng(0)
+    data = {f"kpts{i}": jnp.asarray(
+        rng.uniform(0, 100, (1, 16, 2)).astype(np.float32))
+        for i in (0, 1)}
+    for i in (0, 1):
+        d = rng.normal(size=(1, 16, 256)).astype(np.float32)
+        data[f"desc{i}"] = jnp.asarray(d)
+        data[f"mask{i}"] = jnp.ones((1, 16), bool)
+        data[f"size{i}"] = jnp.asarray([[100.0, 100.0]])
+    o1 = lg.match(params, data)
+    o2 = lg.match(jax.tree.map(jnp.asarray, back), data)
+    np.testing.assert_allclose(np.asarray(o1["mscores0"]),
+                               np.asarray(o2["mscores0"]), atol=1e-6)
