@@ -75,6 +75,75 @@ def _zncc_cost(I0: Array, I1w: Array, w: int, eps: float = 1e-6) -> Array:
     return 1.0 - jnp.clip(zncc, -1.0, 1.0)
 
 
+
+def _streaming_sweep(cost_at, n_hyps: int, shape: tuple):
+    """Shared streaming argmin over hypotheses with parabola neighbors
+    and a NEIGHBOR-EXCLUDED second-best (a subpixel optimum between two
+    hypotheses has near-equal adjacent costs; counting the neighbor as
+    "second best" would wrongly fail the uniqueness test).
+
+    cost_at(k) -> (cost (H, W), inbounds (H, W)).
+    Returns (best, best_k, c_prev, c_next, second, best_inb).
+    """
+    h, w = shape
+    big = jnp.float32(2.0)
+
+    def body(k, carry):
+        (best, best_k, c_m, c_p, prev_c, second, second_k,
+         best_inb) = carry
+        c, inb = cost_at(k)
+        is_new = c < best
+        # the hypothesis right after the current best supplies the
+        # parabola's right neighbor
+        c_p = jnp.where((k == best_k + 1) & ~is_new, c, c_p)
+        # second best among hypotheses not adjacent to the best: the
+        # displaced best becomes a candidate when far from the new best,
+        # and a non-best cost is a candidate when far from the best
+        disp_ok = jnp.abs(k - best_k) > 1
+        new_second = jnp.where(
+            is_new,
+            jnp.where(disp_ok & (best < second), best, second),
+            jnp.where(disp_ok & (c < second), c, second))
+        new_second_k = jnp.where(
+            is_new,
+            jnp.where(disp_ok & (best < second), best_k, second_k),
+            jnp.where(disp_ok & (c < second), k, second_k))
+        c_m = jnp.where(is_new, prev_c, c_m)
+        c_p = jnp.where(is_new, big, c_p)
+        best_k = jnp.where(is_new, k, best_k)
+        best = jnp.where(is_new, c, best)
+        best_inb = jnp.where(is_new, inb, best_inb)
+        return (best, best_k, c_m, c_p, c, new_second, new_second_k,
+                best_inb)
+
+    init = (
+        jnp.full((h, w), big), jnp.full((h, w), -1, jnp.int32),
+        jnp.full((h, w), big), jnp.full((h, w), big),
+        jnp.full((h, w), big), jnp.full((h, w), big),
+        jnp.full((h, w), -99, jnp.int32),
+        jnp.zeros((h, w), bool),
+    )
+    best, best_k, c_m, c_p, _, second, second_k, best_inb = \
+        jax.lax.fori_loop(0, n_hyps, body, init)
+    # the recorded second may have ended up adjacent after the best
+    # moved; treat it as unreliable (uniq -> 1) rather than over-trust it
+    second = jnp.where(jnp.abs(second_k - best_k) > 1, second, best)
+    return best, best_k, c_m, c_p, second, best_inb
+
+
+def _subpixel_delta(best, best_k, c_m, c_p, n_hyps: int):
+    """Parabolic refinement over the hypothesis index."""
+    big = jnp.float32(2.0)
+    denom = c_m - 2.0 * best + c_p
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (c_m - c_p) / jnp.where(
+                          jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    interior = (best_k > 0) & (best_k < n_hyps - 1) & (c_m < big) \
+        & (c_p < big)
+    return jnp.where(interior, delta, 0.0)
+
+
 @partial(jax.jit, static_argnames=("n_planes", "window"))
 def plane_sweep(
     I0: Array,
@@ -115,52 +184,17 @@ def plane_sweep(
         c = _zncc_cost(I0, I1w, window)
         return jnp.where(inb, c, big), inb
 
-    def body(k, carry):
-        (best, best_k, c_prev_of_best, c_next_of_best, prev_c, second,
-         best_inb) = carry
-        c, inb = cost_at(k)
-        is_new = c < best
-        # the plane right after the current best supplies the parabola's
-        # right neighbor
-        c_next_of_best = jnp.where(
-            (k == best_k + 1) & ~is_new, c, c_next_of_best)
-        second = jnp.where(is_new, best, jnp.minimum(second, c))
-        c_prev_of_best = jnp.where(is_new, prev_c, c_prev_of_best)
-        c_next_of_best = jnp.where(is_new, big, c_next_of_best)
-        best_k = jnp.where(is_new, k, best_k)
-        best = jnp.where(is_new, c, best)
-        best_inb = jnp.where(is_new, inb, best_inb)
-        return (best, best_k, c_prev_of_best, c_next_of_best, c, second,
-                best_inb)
-
-    init = (
-        jnp.full((h, w), big), jnp.full((h, w), -1, jnp.int32),
-        jnp.full((h, w), big), jnp.full((h, w), big),
-        jnp.full((h, w), big), jnp.full((h, w), big),
-        jnp.zeros((h, w), bool),
-    )
-    best, best_k, c_m, c_p, _, second, best_inb = jax.lax.fori_loop(
-        0, n_planes, body, init)
-
-    # parabolic subpixel over inverse depth
-    denom = c_m - 2.0 * best + c_p
-    delta = jnp.where(jnp.abs(denom) > 1e-9,
-                      0.5 * (c_m - c_p) / jnp.where(
-                          jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    # interior planes only (parabola needs both neighbors)
-    interior = (best_k > 0) & (best_k < n_planes - 1) & (c_m < big) \
-        & (c_p < big)
-    delta = jnp.where(interior, delta, 0.0)
-    step = (inv_d[-1] - inv_d[0]) / (n_planes - 1)
+    best, best_k, c_m, c_p, second, best_inb = _streaming_sweep(
+        cost_at, n_planes, (h, w))
+    delta = _subpixel_delta(best, best_k, c_m, c_p, n_planes)
+    step = (inv_d[-1] - inv_d[0]) / max(n_planes - 1, 1)
     inv_best = inv_d[0] + (best_k.astype(jnp.float32) + delta) * step
     depth = 1.0 / jnp.maximum(inv_best, 1e-9)
 
-    uniq = best / jnp.maximum(second, 1e-6)
     return {
         "depth": depth,
         "cost": best,
-        "uniqueness": uniq,
+        "uniqueness": best / jnp.maximum(second, 1e-6),
         "inbounds": best_inb & (best_k >= 0),
     }
 
@@ -184,8 +218,6 @@ def depth_to_points(depth: Array, K0: Array, E0: Array,
     return Xw, valid
 
 
-@partial(jax.jit, static_argnames=("disp_min", "disp_max", "n_disp",
-                                   "window"))
 def disparity_sweep(
     I0r: Array,
     I1r: Array,
@@ -201,11 +233,34 @@ def disparity_sweep(
     fori_loop exactly like `plane_sweep`. Rectify with ops.rectify
     first; disparity d means I0r(x) corresponds to I1r(x - d).
 
+    disp_min/disp_max are host floats; only the pad amount (quantized to
+    a 64-px bucket) is static, so changing disparity ranges does NOT
+    recompile the sweep (ranges change per camera pair / epoch).
+
     Returns dict(disparity (H, W) subpixel, cost, uniqueness, inbounds).
     """
+    raw = int(np.ceil(max(abs(float(disp_max)),
+                          abs(float(disp_min))))) + 2
+    pad = ((raw + 63) // 64) * 64   # pow-of-64 bucket: stable jit shapes
+    return _disparity_sweep(
+        I0r, I1r,
+        jnp.asarray(float(disp_min), jnp.float32),
+        jnp.asarray(float(disp_max), jnp.float32),
+        pad=pad, n_disp=n_disp, window=window)
+
+
+@partial(jax.jit, static_argnames=("pad", "n_disp", "window"))
+def _disparity_sweep(
+    I0r: Array,
+    I1r: Array,
+    disp_min: Array,
+    disp_max: Array,
+    pad: int,
+    n_disp: int = 96,
+    window: int = 7,
+) -> dict:
     h, w = I0r.shape
     big = jnp.float32(2.0)
-    pad = int(np.ceil(max(abs(disp_max), abs(disp_min)))) + 2
     I1p = jnp.pad(I1r, ((0, 0), (pad, pad)))
     disps = jnp.linspace(disp_min, disp_max, n_disp)
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -223,36 +278,9 @@ def disparity_sweep(
         c = _zncc_cost(I0r, I1s, window)
         return jnp.where(inb, c, big), inb
 
-    def body(k, carry):
-        (best, best_k, c_m, c_p, prev_c, second, best_inb) = carry
-        c, inb = cost_at(k)
-        is_new = c < best
-        c_p = jnp.where((k == best_k + 1) & ~is_new, c, c_p)
-        second = jnp.where(is_new, best, jnp.minimum(second, c))
-        c_m = jnp.where(is_new, prev_c, c_m)
-        c_p = jnp.where(is_new, big, c_p)
-        best_k = jnp.where(is_new, k, best_k)
-        best = jnp.where(is_new, c, best)
-        best_inb = jnp.where(is_new, inb, best_inb)
-        return (best, best_k, c_m, c_p, c, second, best_inb)
-
-    init = (
-        jnp.full((h, w), big), jnp.full((h, w), -1, jnp.int32),
-        jnp.full((h, w), big), jnp.full((h, w), big),
-        jnp.full((h, w), big), jnp.full((h, w), big),
-        jnp.zeros((h, w), bool),
-    )
-    best, best_k, c_m, c_p, _, second, best_inb = jax.lax.fori_loop(
-        0, n_disp, body, init)
-
-    denom = c_m - 2.0 * best + c_p
-    delta = jnp.where(jnp.abs(denom) > 1e-9,
-                      0.5 * (c_m - c_p) / jnp.where(
-                          jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
-    interior = (best_k > 0) & (best_k < n_disp - 1) & (c_m < big) \
-        & (c_p < big)
-    delta = jnp.where(interior, delta, 0.0)
+    best, best_k, c_m, c_p, second, best_inb = _streaming_sweep(
+        cost_at, n_disp, (h, w))
+    delta = _subpixel_delta(best, best_k, c_m, c_p, n_disp)
     step = (disp_max - disp_min) / max(n_disp - 1, 1)
     disp = disp_min + (best_k.astype(jnp.float32) + delta) * step
     return {

@@ -134,8 +134,13 @@ def make_sequence_parallel_lightglue(mesh: Mesh, lg, axis: str = "seq"):
 
         kn0 = normalize_keypoints(kpts0, size0)
         kn1 = normalize_keypoints(kpts1, size1)
-        d0 = _linear(params["input_proj"], desc0.astype(jnp.float32))
-        d1 = _linear(params["input_proj"], desc1.astype(jnp.float32))
+        # official checkpoints have an Identity input_proj (empty dict)
+        if "kernel" in params["input_proj"]:
+            d0 = _linear(params["input_proj"], desc0.astype(jnp.float32))
+            d1 = _linear(params["input_proj"], desc1.astype(jnp.float32))
+        else:
+            d0 = desc0.astype(jnp.float32)
+            d1 = desc1.astype(jnp.float32)
         enc0 = rotary_encoding(params["posenc"], kn0)
         enc1 = rotary_encoding(params["posenc"], kn1)
 
@@ -161,12 +166,10 @@ def make_sequence_parallel_lightglue(mesh: Mesh, lg, axis: str = "seq"):
         z0 = _linear(ap["matchability"], d0)[..., 0]
         z1 = _linear(ap["matchability"], d1)[..., 0]
 
-        # distributed double softmax: row lse (over side1) and col lse
-        # (over side0), then ring argmax of the assignment block
-        row_lse = _plain_lse(md0, mask0, md1, mask1, axis, n_shards)
+        # distributed double softmax: col lse first (over side0), then
+        # the side-0 argmax pass FUSES the row lse (no extra ring pass)
         col_lse = _plain_lse(md1, mask1, md0, mask0, axis, n_shards)
-
-        _, bmax0, arg0 = _row_lse_and_argmax(
+        row_lse, bmax0, arg0 = _row_lse_and_argmax(
             md0, z1, mask0, mask1, md1, col_lse, axis, n_shards,
             my_shard, mask1.shape[1])
         _, bmax1, arg1 = _row_lse_and_argmax(
@@ -175,14 +178,11 @@ def make_sequence_parallel_lightglue(mesh: Mesh, lg, axis: str = "seq"):
 
         # block value for queries on side0: add the row terms
         score0 = bmax0 - row_lse + jax.nn.log_sigmoid(z0)
-        score1 = bmax1 - col_lse + jax.nn.log_sigmoid(z1)
 
         # mutual check needs the other side's argmax globally
         g_arg1 = jax.lax.all_gather(arg1, axis)      # (S, B, n_loc)
         g_arg1 = jnp.moveaxis(g_arg1, 0, 1).reshape(
             arg1.shape[0], -1)                        # (B, N1)
-        g_score1 = jnp.moveaxis(jax.lax.all_gather(score1, axis),
-                                0, 1).reshape(arg1.shape[0], -1)
         g_mask1 = jnp.moveaxis(jax.lax.all_gather(mask1, axis),
                                0, 1).reshape(arg1.shape[0], -1)
 
@@ -191,24 +191,30 @@ def make_sequence_parallel_lightglue(mesh: Mesh, lg, axis: str = "seq"):
         back = jnp.take_along_axis(g_arg1, jnp.maximum(arg0, 0), 1)
         mutual0 = back == my_index0
         ms0 = jnp.exp(score0)
-        valid0 = mask0 & mutual0 & (ms0 > th) & (arg0 >= 0) & \
+        # dense semantics (models/lightglue.py filter_matches): scores
+        # are mutual-gated PRE-threshold; only matches apply the filter
+        mut0 = mask0 & mutual0 & (arg0 >= 0) & \
             jnp.take_along_axis(g_mask1, jnp.maximum(arg0, 0), 1)
+        mscores0 = jnp.where(mut0, ms0, 0.0)
+        valid0 = mut0 & (ms0 > th)
         matches0 = jnp.where(valid0, arg0, -1).astype(jnp.int32)
-        mscores0 = jnp.where(valid0, ms0, 0.0)
 
         # side1 matches symmetric (mutual means the back-pointer hits us)
         g_arg0 = jnp.moveaxis(jax.lax.all_gather(arg0, axis),
                               0, 1).reshape(arg0.shape[0], -1)
+        g_v0 = jnp.moveaxis(jax.lax.all_gather(valid0, axis),
+                            0, 1).reshape(arg0.shape[0], -1)
         my_index1 = my_shard * mask1.shape[1] + \
             jnp.arange(mask1.shape[1])[None]
         back1 = jnp.take_along_axis(g_arg0, jnp.maximum(arg1, 0), 1)
-        mutual1 = back1 == my_index1
+        mutual1 = mask1 & (back1 == my_index1)
         ms1 = jnp.take_along_axis(
             jnp.moveaxis(jax.lax.all_gather(mscores0, axis), 0, 1)
             .reshape(arg1.shape[0], -1), jnp.maximum(arg1, 0), 1)
-        valid1 = mask1 & mutual1 & (ms1 > 0)
+        mscores1 = jnp.where(mutual1, ms1, 0.0)
+        valid1 = mutual1 & jnp.take_along_axis(
+            g_v0, jnp.maximum(arg1, 0), 1)
         matches1 = jnp.where(valid1, arg1, -1).astype(jnp.int32)
-        mscores1 = jnp.where(valid1, ms1, 0.0)
         return matches0, matches1, mscores0, mscores1
 
     tok = P(None, axis)
@@ -223,10 +229,16 @@ def make_sequence_parallel_lightglue(mesh: Mesh, lg, axis: str = "seq"):
 
     @jax.jit
     def run(params, data):
-        m0, m1, s0, s1 = fn(
-            params, data["kpts0"], data["desc0"], data["mask0"],
-            data["size0"], data["kpts1"], data["desc1"], data["mask1"],
-            data["size1"])
+        if data.get("size0") is None or data.get("size1") is None:
+            raise ValueError(
+                "sequence-parallel LightGlue requires explicit size0/"
+                "size1 (per-shard keypoint extents would corrupt the "
+                "rotary encoding)")
+        with jax.default_matmul_precision(lg.precision):
+            m0, m1, s0, s1 = fn(
+                params, data["kpts0"], data["desc0"], data["mask0"],
+                data["size0"], data["kpts1"], data["desc1"],
+                data["mask1"], data["size1"])
         return {"matches0": m0, "matches1": m1,
                 "mscores0": s0, "mscores1": s1}
 

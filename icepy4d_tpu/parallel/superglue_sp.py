@@ -149,13 +149,13 @@ def make_sequence_parallel_superglue(mesh: Mesh, sg, axis: str = "seq"):
         m1 = jax.lax.dynamic_slice_in_dim(
             m1_full, my_shard * n_loc, n_loc, axis=1)
 
-        # mutual check
-        g_m1 = m1_full                                   # (B, N) global
-        back = jnp.take_along_axis(g_m1, jnp.maximum(m0, 0), 1)
-        mutual0 = back == my_index0
-        valid0 = mask0 & mutual0 & (ms0 > th)
+        # dense semantics (filter_matches): scores mutual-gated
+        # PRE-threshold; only the match indices apply the filter
+        back = jnp.take_along_axis(m1_full, jnp.maximum(m0, 0), 1)
+        mutual0 = mask0 & (back == my_index0)
+        mscores0 = jnp.where(mutual0, ms0, 0.0)
+        valid0 = mutual0 & (ms0 > th)
         matches0 = jnp.where(valid0, m0, -1).astype(jnp.int32)
-        mscores0 = jnp.where(valid0, ms0, 0.0)
 
         # side1: mutual means the row it points to points back
         g_m0 = jnp.moveaxis(jax.lax.all_gather(m0, axis), 0, 1
@@ -166,11 +166,12 @@ def make_sequence_parallel_superglue(mesh: Mesh, sg, axis: str = "seq"):
                             ).reshape(b, -1)
         my_index1 = my_shard * n_loc + jnp.arange(n_loc)[None]
         back1 = jnp.take_along_axis(g_m0, jnp.maximum(m1, 0), 1)
-        mutual1 = (back1 == my_index1) & jnp.take_along_axis(
-            g_v0, jnp.maximum(m1, 0), 1)
+        mutual1 = mask1 & (back1 == my_index1)
         ms1 = jnp.take_along_axis(g_s0, jnp.maximum(m1, 0), 1)
-        matches1 = jnp.where(mask1 & mutual1, m1, -1).astype(jnp.int32)
-        mscores1 = jnp.where(mask1 & mutual1, ms1, 0.0)
+        mscores1 = jnp.where(mutual1, ms1, 0.0)
+        valid1 = mutual1 & jnp.take_along_axis(
+            g_v0, jnp.maximum(m1, 0), 1)
+        matches1 = jnp.where(valid1, m1, -1).astype(jnp.int32)
         return matches0, matches1, mscores0, mscores1
 
     tok = P(None, axis)
@@ -186,6 +187,10 @@ def make_sequence_parallel_superglue(mesh: Mesh, sg, axis: str = "seq"):
 
     @jax.jit
     def run(params, data):
+        with jax.default_matmul_precision(sg.precision):
+            return _run_inner(params, data)
+
+    def _run_inner(params, data):
         m0, m1, s0, s1 = fn(
             params, data["kpts0"], data["desc0"], data["scores0"],
             data["mask0"], data["size0"], data["kpts1"], data["desc1"],
