@@ -289,3 +289,28 @@ def _disparity_sweep(
         "uniqueness": best / jnp.maximum(second, 1e-6),
         "inbounds": best_inb & (best_k >= 0),
     }
+
+
+@partial(jax.jit, static_argnames=("tau",))
+def lr_consistency_mask(disp0: Array, disp1: Array,
+                        tau: float = 1.0) -> Array:
+    """Left-right consistency: x in view 0 with disparity d must map to a
+    view-1 pixel whose (reverse) disparity agrees: |d0(x) + d1(x - d0)|
+    <= tau. The TPU analogue of Metashape's depth filtering
+    (metashape/metashape.py:214-222 depth_filter).
+
+    disp0: view0->view1 disparities; disp1: view1->view0 (the sweep run
+    with swapped, mirrored inputs yields it directly). Returns (H, W)
+    bool mask for view 0.
+    """
+    h, w = disp0.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    x1 = xs - disp0                      # where each pixel lands in view1
+    x1c = jnp.clip(x1, 0.0, w - 1.0)
+    i0 = jnp.floor(x1c).astype(jnp.int32)
+    f = x1c - i0.astype(jnp.float32)
+    rows = jnp.arange(h)[:, None]
+    d1 = (disp1[rows, i0] * (1.0 - f)
+          + disp1[rows, jnp.minimum(i0 + 1, w - 1)] * f)
+    inb = (x1 >= 0) & (x1 <= w - 1)
+    return inb & (jnp.abs(disp0 + d1) <= tau)

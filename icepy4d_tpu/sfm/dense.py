@@ -21,7 +21,7 @@ import numpy as np
 
 from icepy4d_tpu.core.camera import Camera
 from icepy4d_tpu.ops.dense import (depth_to_points, disparity_sweep,
-                                   plane_sweep)
+                                   lr_consistency_mask, plane_sweep)
 from icepy4d_tpu.ops.geometry import scale_intrinsics
 from icepy4d_tpu.ops.image import (resize, rgb_to_gray, undistort_image,
                                    warp_homography)
@@ -52,6 +52,8 @@ class PlaneSweepStereo:
         cost_threshold: float = 0.5,
         uniqueness_threshold: float = 0.98,
         method: str = "rectified",
+        lr_check: bool = True,
+        lr_tau: float = 2.0,
     ) -> None:
         self.cameras = list(cameras)
         self.images = list(images)
@@ -63,6 +65,8 @@ class PlaneSweepStereo:
         self.cost_threshold = float(cost_threshold)
         self.uniqueness_threshold = float(uniqueness_threshold)
         self.method = method
+        self.lr_check = bool(lr_check)
+        self.lr_tau = float(lr_tau)
         self.depth: np.ndarray | None = None
         self.valid: np.ndarray | None = None
 
@@ -112,6 +116,17 @@ class PlaneSweepStereo:
                                   window=self.window)
             depth = np.asarray(disparity_to_depth(
                 out["disparity"], rect["K_new"], rect["baseline"], off))
+            if self.lr_check:
+                # reverse sweep: view1 -> view0 disparities are the
+                # negated range of the forward ones
+                rev = disparity_sweep(g1r, g0r, -d_hi, -d_lo,
+                                      n_disp=self.n_planes,
+                                      window=self.window)
+                lr_ok = np.asarray(lr_consistency_mask(
+                    out["disparity"], rev["disparity"],
+                    tau=self.lr_tau))
+                out = dict(out)
+                out["inbounds"] = np.asarray(out["inbounds"]) & lr_ok
             self._rect = rect
             self._g0 = g0r
         else:

@@ -273,3 +273,35 @@ def test_rectified_sweep_on_rotated_rig():
         jnp.asarray(pix), jnp.asarray(depth[30:-30, 50:-30][inner]),
         r["K_new"], r["R_new"], r["C0"]))
     assert np.median(np.abs(pts[:, 2] - Z)) < 0.1
+
+
+def test_lr_consistency_rejects_occlusion_mismatch(stereo_plane):
+    from icepy4d_tpu.ops.dense import disparity_sweep, lr_consistency_mask
+
+    I0, I1, E0, E1, Z = stereo_plane
+    fwd = disparity_sweep(jnp.asarray(I0), jnp.asarray(I1),
+                          10.0, 45.0, n_disp=64)
+    rev = disparity_sweep(jnp.asarray(I1), jnp.asarray(I0),
+                          -45.0, -10.0, n_disp=64)
+    ok = np.asarray(lr_consistency_mask(fwd["disparity"],
+                                        rev["disparity"], tau=1.5))
+    inner = ok[20:-20, 40:-20]
+    assert inner.mean() > 0.8  # consistent where both views see the plane
+    # corrupt the reverse map: consistency must collapse
+    bad = np.asarray(rev["disparity"]) + 10.0
+    ok2 = np.asarray(lr_consistency_mask(fwd["disparity"],
+                                         jnp.asarray(bad), tau=1.5))
+    assert ok2[20:-20, 40:-20].mean() < 0.05
+
+
+def test_plane_sweep_stereo_class_lr(stereo_plane):
+    I0, I1, E0, E1, Z = stereo_plane
+    cam0 = Camera.create(width=W, height=H, K=K, extrinsics=E0)
+    cam1 = Camera.create(width=W, height=H, K=K, extrinsics=E1)
+    pss = PlaneSweepStereo([cam0, cam1], [I0, I1], depth_min=5.0,
+                           depth_max=20.0, n_planes=64,
+                           cost_threshold=0.2, lr_check=True)
+    res = pss.run()
+    assert res["valid"].mean() > 0.4
+    pts, _ = pss.to_point_cloud()
+    assert np.abs(np.median(pts[:, 2]) - Z) < 0.1
