@@ -159,6 +159,7 @@ class Pipeline:
                                          "none")).upper()]
         gv = GeometricVerification[str(cfg.get(
             "geometric_verification", "pydegensac")).upper()]
+        do_viz = bool(self.cfg.get("other", {}).get("do_viz", False))
         self.matcher.match(
             im0, im1,
             quality=quality,
@@ -169,6 +170,8 @@ class Pipeline:
                 "pydegensac_threshold", 1.0)),
             confidence=float(cfg.get("confidence", 0.9999)),
             geometric_verification=gv,
+            do_viz_matches=do_viz,
+            save_dir=(str(epoch.epoch_dir) if do_viz else None),
         )
         mk0, mk1 = self.matcher.mkpts0, self.matcher.mkpts1
         if len(mk0) < 8:
