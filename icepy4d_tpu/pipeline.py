@@ -201,6 +201,9 @@ class Pipeline:
         return True
 
     def _orient_epoch(self, epoch: Epoch) -> np.ndarray | None:
+        if not bool(self.cfg.get("proc", DotDict()).get(
+                "do_orientation", True)):
+            return None
         g = self.cfg.get("georef", DotDict())
         cams = [epoch.cameras[c] for c in self.cams]
         kpts = [epoch.features[c].kpts_to_numpy() for c in self.cams]
