@@ -127,3 +127,46 @@ def test_track_targets_driver(terrain, tmp_path):
         t = Targets(im_file_path=[tmp_path / "res" / f"{stem}.csv"])
         coords, found = t.get_image_coor_by_label(["F1", "F2", "F3"], 0)
         assert len(found) == 3
+
+
+def test_track_targets_matches_human_annotations(assets_dir, tmp_path):
+    """REAL-DATA validation: track the surveyed glacier targets across
+    the sample season and compare to the human per-image annotations
+    (sub-pixel agreement expected on stable targets)."""
+    import cv2
+    import pandas as pd
+
+    from icepy4d_tpu.utils.track_targets import TrackTargets
+
+    imgs = sorted((assets_dir / "img" / "cam1").glob("*.jpg"))
+    if len(imgs) < 2:
+        pytest.skip("no sample season")
+    s = 1200 / 6012.0  # sample images are downscaled from full res
+
+    def annotations(stem, labels):
+        df = pd.read_csv(assets_dir / "targets" / f"{stem}.csv")
+        return {l: np.array([df[df.label == l].iloc[0].x,
+                             df[df.label == l].iloc[0].y]) * s
+                for l in labels if (df.label == l).any()}
+
+    labels = ["F2", "F11"]
+    master = annotations(imgs[0].stem, labels)
+    assert set(master) == set(labels)
+    xy = np.stack([master[l] for l in labels])
+
+    tt = TrackTargets(imgs[0], imgs[1:], xy, target_names=labels,
+                      out_dir=str(tmp_path), template_width=24,
+                      search_width=64, snr_threshold=2.0)
+    results = tt.track()
+
+    n_checked = 0
+    for p in imgs[1:]:
+        out = results[p.stem]
+        assert out["ok"].all(), f"targets lost in {p.stem}"
+        ann = annotations(p.stem, labels)
+        for i, l in enumerate(labels):
+            if l in ann:
+                err = np.linalg.norm(out["xy"][i] - ann[l])
+                assert err < 1.5, f"{p.stem}/{l}: {err:.2f} px"
+                n_checked += 1
+    assert n_checked >= 3  # several human-annotated checks ran
