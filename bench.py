@@ -8,7 +8,18 @@ geometric verification included. We run EXHAUSTIVE tile pairing
 (16 tile pairs — a strict superset of the reference's preselected
 subset) and still report wall time per pair.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Honesty of the timed path (VERDICT.md round-1 weak #2): pretrained
+checkpoints are unavailable here (no network), and random-weight
+matchers only produce matches on 8 px grid-aligned shifts. The second
+frame is therefore an 8-aligned np.roll of the first and the matcher
+runs with filter_threshold=0 (a compare against a constant inside the
+same fused program — identical compute to production). This makes
+RANSAC geometric verification, inlier compaction, and host match
+assembly all run for real inside the measurement, like the
+reference's 16.0 s did. The run aborts rather than report a number if
+putative matches or GV inliers are zero.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline > 1 means faster than the reference.
 """
 
@@ -16,6 +27,8 @@ import json
 import sys
 import time
 from pathlib import Path
+
+import numpy as np
 
 REF_SECONDS = 16.0  # notebooks/matching.ipynb: "Function match took 16.0027"
 
@@ -25,14 +38,14 @@ def load_pair():
 
     root = Path("/root/reference/assets/img")
     p0 = sorted((root / "cam1").glob("*"))[0]
-    p1 = sorted((root / "cam2").glob("*"))[0]
     img0 = cv2.imread(str(p0), cv2.IMREAD_GRAYSCALE)
-    img1 = cv2.imread(str(p1), cv2.IMREAD_GRAYSCALE)
     # sample assets are downscaled; restore the reference's full
     # 6012x4008 px workload (compute cost is content-independent:
     # static tile/keypoint shapes)
     img0 = cv2.resize(img0, (6012, 4008), interpolation=cv2.INTER_CUBIC)
-    img1 = cv2.resize(img1, (6012, 4008), interpolation=cv2.INTER_CUBIC)
+    # 8 px grid-aligned shifted copy: the only pair construction that
+    # yields real matches with random weights (see module docstring)
+    img1 = np.roll(img0, shift=(40, 64), axis=(0, 1))
     return img0, img1
 
 
@@ -45,7 +58,8 @@ def main() -> None:
     )
 
     img0, img1 = load_pair()
-    matcher = LightGlueMatcher({"max_keypoints": 4096})
+    matcher = LightGlueMatcher(
+        {"max_keypoints": 4096, "filter_threshold": 0.0})
 
     kwargs = dict(
         quality=Quality.HIGH,
@@ -66,18 +80,33 @@ def main() -> None:
             if attempt:
                 raise
             time.sleep(5.0)
-    times = []
+
+    times, gv_times = [], []
     for _ in range(3):
         t0 = time.perf_counter()
         matcher.match(img0, img1, **kwargs)
         times.append(time.perf_counter() - t0)
+        gv_times.append(matcher.timer.times.get(
+            "geometric_verification", 0.0))
     best = min(times)
+    i_best = times.index(best)
+
+    putative = int(len(matcher.inlier_mask))
+    inliers = int(matcher.inlier_mask.sum())
+    gv_s = float(gv_times[i_best])
+    if putative == 0 or inliers == 0 or gv_s <= 0.0:
+        raise SystemExit(
+            f"bench not end-to-end: putative={putative} "
+            f"inliers={inliers} gv_s={gv_s}")
 
     print(json.dumps({
         "metric": "lightglue_fullres_pair_match",
         "value": round(best, 3),
         "unit": "s/pair (6012x4008, 2x2 tiles exhaustive, 4096 kpts, GV)",
         "vs_baseline": round(REF_SECONDS / best, 2),
+        "putative_matches": putative,
+        "inliers": inliers,
+        "gv_s": round(gv_s, 4),
     }))
 
 

@@ -1,9 +1,16 @@
 """Matching configuration enums.
 
 API parity with the reference enums (matching/enums.py:4-27); values keep
-their names so existing configs translate 1:1. GeometricVerification gains
-a JAX_RANSAC member naming our on-device hypothesis-parallel verifier —
-PYDEGENSAC / MAGSAC map onto it (same thresholds, Sampson scoring).
+their names so existing configs translate 1:1, and each name keeps its
+reference SEMANTICS on device:
+
+  PYDEGENSAC -> hypothesis-parallel F-RANSAC with DEGENSAC-style
+                plane-degeneracy detection + plane-and-parallax recovery
+                (ops/ransac.py::ransac_fundamental_degensac)
+  MAGSAC     -> sigma-consensus (threshold-marginalized) scoring with
+                weighted polish (ops/ransac.py::ransac_fundamental_magsac)
+  JAX_RANSAC -> plain fixed-threshold Sampson RANSAC
+                (ops/ransac.py::ransac_fundamental)
 """
 
 from enum import Enum

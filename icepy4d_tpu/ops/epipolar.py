@@ -98,6 +98,102 @@ def symmetric_epipolar_distance(F: Array, x0: Array, x1: Array) -> Array:
     return d0 + d1
 
 
+def homography_dlt(x0: Array, x1: Array, w: Array) -> Array:
+    """Weighted normalized 4-point DLT -> homography x1 ~ H x0.
+
+    Same weighting convention as eight_point: a minimal 4-row weight
+    pattern makes it the RANSAC hypothesis solver, inlier weights make
+    it the refit. Used by the DEGENSAC-style plane-degeneracy check
+    (reference relies on pydegensac's internal one,
+    matching/geometric_verification.py:64-79).
+    """
+    x0n, T0 = hartley_normalization(x0, w)
+    x1n, T1 = hartley_normalization(x1, w)
+    u0, v0 = x0n[:, 0], x0n[:, 1]
+    u1, v1 = x1n[:, 0], x1n[:, 1]
+    ones = jnp.ones_like(u0)
+    zeros = jnp.zeros_like(u0)
+    # Two constraint rows per point from x1 x (H x0) = 0.
+    rows_a = jnp.stack(
+        [u0, v0, ones, zeros, zeros, zeros, -u1 * u0, -u1 * v0, -u1], -1
+    )
+    rows_b = jnp.stack(
+        [zeros, zeros, zeros, u0, v0, ones, -v1 * u0, -v1 * v0, -v1], -1
+    )
+    A = jnp.concatenate([rows_a * w[:, None], rows_b * w[:, None]], axis=0)
+    _, V = jnp.linalg.eigh(A.T @ A)
+    H = V[:, 0].reshape(3, 3)
+    H = jnp.linalg.solve(T1, H @ T0)
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+
+
+def homography_sym_transfer(H: Array, x0: Array, x1: Array) -> Array:
+    """Symmetric transfer squared error (px^2) for x1 ~ H x0."""
+    x0h = jnp.concatenate([x0, jnp.ones((*x0.shape[:-1], 1), x0.dtype)], -1)
+    x1h = jnp.concatenate([x1, jnp.ones((*x1.shape[:-1], 1), x1.dtype)], -1)
+    Hx0 = x0h @ H.T
+    fwd = Hx0[..., :2] / jnp.where(
+        jnp.abs(Hx0[..., 2:3]) < 1e-12, 1e-12, Hx0[..., 2:3])
+    Hinv_x1 = jnp.linalg.solve(H, x1h.T).T
+    bwd = Hinv_x1[..., :2] / jnp.where(
+        jnp.abs(Hinv_x1[..., 2:3]) < 1e-12, 1e-12, Hinv_x1[..., 2:3])
+    return jnp.sum((fwd - x1) ** 2, -1) + jnp.sum((bwd - x0) ** 2, -1)
+
+
+def skew(v: Array) -> Array:
+    """Cross-product matrix [v]_x."""
+    z = jnp.zeros((), v.dtype)
+    return jnp.stack([
+        jnp.stack([z, -v[2], v[1]]),
+        jnp.stack([v[2], z, -v[0]]),
+        jnp.stack([-v[1], v[0], z]),
+    ])
+
+
+def fundamental_from_homography(
+    H: Array, x0: Array, x1: Array, w_offplane: Array
+) -> Array:
+    """Plane-and-parallax: F = [e']_x H from off-plane correspondences.
+
+    Each correspondence off the plane defines a line (H x0) x x1 through
+    the epipole e'; e' is the least-squares intersection of the weighted
+    line bundle (smallest eigenvector of sum w l l^T). This is the
+    DEGENSAC model-recovery step the reference gets from pydegensac.
+    """
+    x0h = jnp.concatenate([x0, jnp.ones((*x0.shape[:-1], 1), x0.dtype)], -1)
+    x1h = jnp.concatenate([x1, jnp.ones((*x1.shape[:-1], 1), x1.dtype)], -1)
+    Hx0 = x0h @ H.T
+    lines = jnp.cross(Hx0, x1h)
+    # Normalize so |l . e| is the point-line distance for unit-ish e.
+    lines = lines / jnp.maximum(
+        jnp.linalg.norm(lines[..., :2], axis=-1, keepdims=True), 1e-12)
+    # A line's direction is only as reliable as the point's parallax:
+    # near-plane points (|Hx0 - x1| ~ noise) give noise-driven lines.
+    # Weight by squared parallax so they fade instead of dragging the LS.
+    Hx0_px = Hx0[..., :2] / jnp.where(
+        jnp.abs(Hx0[..., 2:3]) < 1e-12, 1e-12, Hx0[..., 2:3])
+    parallax2 = jnp.sum((Hx0_px - x1) ** 2, -1)
+    w_offplane = w_offplane * parallax2
+
+    def solve(w):
+        M = jnp.einsum("ni,nj,n->ij", lines, lines, w)
+        _, V = jnp.linalg.eigh(M)
+        return V[:, 0]
+
+    # IRLS: one LS pass, then down-weight lines far from the epipole
+    # (off-plane sets are small; a single bad line can drag plain LS).
+    e1 = solve(w_offplane)
+    for _ in range(2):
+        d = jnp.abs(lines @ e1) / jnp.maximum(
+            jnp.linalg.norm(e1[:2]), 1e-12)
+        scale = jnp.sum(d * w_offplane) / jnp.maximum(
+            jnp.sum(w_offplane), 1e-12)
+        w = w_offplane / (1.0 + (d / jnp.maximum(scale, 1e-12)) ** 2)
+        e1 = solve(w)
+    F = skew(e1) @ H
+    return F / jnp.maximum(jnp.abs(F).max(), 1e-12)
+
+
 def decompose_essential(E: Array) -> tuple[Array, Array]:
     """E -> 4 candidate poses. Returns (Rs (4, 3, 3), ts (4, 3))."""
     U, _, Vt = jnp.linalg.svd(E)

@@ -113,6 +113,177 @@ def ransac_fundamental(
 
 
 # ---------------------------------------------------------------------------
+# Homography — hypothesis solver for the DEGENSAC plane check
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_hypotheses",))
+def ransac_homography(
+    key: Array,
+    x0: Array,
+    x1: Array,
+    mask: Array,
+    threshold: float = 3.0,
+    n_hypotheses: int = 256,
+) -> tuple[Array, Array]:
+    """Homography RANSAC (4-point DLT, symmetric transfer error).
+
+    Returns (H (3, 3), inlier mask (N,)).
+    """
+    solver = lambda w: epipolar.homography_dlt(x0, x1, w)
+    residual = lambda H: epipolar.homography_sym_transfer(H, x0, x1)
+    H, inliers, _ = ransac(
+        key, solver, residual, mask,
+        sample_size=4, n_hypotheses=n_hypotheses, threshold=threshold,
+    )
+    H = epipolar.homography_dlt(x0, x1, inliers.astype(jnp.float32))
+    d = epipolar.homography_sym_transfer(H, x0, x1)
+    inliers = (d < threshold**2) & mask
+    return H, inliers
+
+
+# ---------------------------------------------------------------------------
+# DEGENSAC-style F estimation — plane-degeneracy detection + recovery
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit,
+         static_argnames=("n_hypotheses", "h_hypotheses", "refit_iters"))
+def ransac_fundamental_degensac(
+    key: Array,
+    x0: Array,
+    x1: Array,
+    mask: Array,
+    threshold: float = 1.5,
+    n_hypotheses: int = 512,
+    h_hypotheses: int = 256,
+    degeneracy_frac: float = 0.8,
+    refit_iters: int = 2,
+) -> tuple[Array, Array, Array]:
+    """F-matrix RANSAC with DEGENSAC plane-degeneracy handling.
+
+    The reference's primary GV is pydegensac with an H-degeneracy test
+    (matching/geometric_verification.py:64-79): on dominant-plane scenes
+    (exactly the glacier-face case) plain F-RANSAC returns a model that
+    only encodes the plane homography. Here:
+
+      1. plain hypothesis-parallel F-RANSAC (ransac_fundamental);
+      2. H-RANSAC restricted to F's consensus set; if H explains
+         > degeneracy_frac of it, the configuration is degenerate;
+      3. plane-and-parallax recovery: F' = [e']_x H with the epipole
+         estimated from the OFF-plane correspondences
+         (epipolar.fundamental_from_homography), refit on its inliers;
+      4. keep whichever of {F, F'} has the larger consensus set.
+
+    Returns (F (3, 3), inlier mask (N,), degenerate flag ()).
+    """
+    kF, kH = jax.random.split(key)
+    F, inlF = ransac_fundamental(
+        kF, x0, x1, mask, threshold, n_hypotheses, refit_iters)
+    nF = jnp.sum(inlF)
+
+    # Symmetric transfer error sums FOUR noisy coordinates (two points,
+    # both directions) vs Sampson's one point-line distance: at noise
+    # sigma the expectations are ~8 sigma^2 vs ~2 sigma^2, so the
+    # H-inlier threshold must be ~2x the F threshold plus headroom —
+    # too tight and noisy plane points leak into the "off-plane" set.
+    H, inlH = ransac_homography(
+        kH, x0, x1, inlF,
+        threshold=threshold * 3.0, n_hypotheses=h_hypotheses)
+    degenerate = jnp.sum(inlH) > degeneracy_frac * jnp.maximum(nF, 1)
+
+    # Plane-and-parallax recovery from off-plane support.
+    w_off = (mask & ~inlH).astype(jnp.float32)
+    Fpp = epipolar.fundamental_from_homography(H, x0, x1, w_off)
+
+    def refit(_, carry):
+        F, inl = carry
+        F = epipolar.eight_point(x0, x1, inl.astype(jnp.float32))
+        d = epipolar.sampson_distance(F, x0, x1)
+        return F, (d < threshold**2) & mask
+
+    d_pp = epipolar.sampson_distance(Fpp, x0, x1)
+    inl_pp = (d_pp < threshold**2) & mask
+    # Refit can drag the recovered model back onto the plane (its inlier
+    # set is plane-dominated), so keep BOTH the raw plane-and-parallax
+    # model and its refit as candidates.
+    Fpp_r, inl_pp_r = jax.lax.fori_loop(
+        0, refit_iters, refit, (Fpp, inl_pp))
+
+    # Model selection on the OFF-plane set only: a degenerate F overfits
+    # the plane, so its TOTAL count is inflated — what discriminates the
+    # true epipolar geometry is how many off-plane correspondences each
+    # model explains.
+    off = mask & ~inlH
+
+    def n_off(Fc):
+        return jnp.sum(
+            (epipolar.sampson_distance(Fc, x0, x1) < threshold**2) & off)
+
+    pp_valid = jnp.sum(w_off) >= 2
+    cand_F = jnp.stack([F, Fpp, Fpp_r])
+    cand_inl = jnp.stack([inlF, inl_pp, inl_pp_r])
+    scores = jnp.stack([n_off(F), n_off(Fpp), n_off(Fpp_r)])
+    # Plane-and-parallax candidates only count when degenerate & valid;
+    # ties go to the plain model (argmax picks the first maximum).
+    allow = jnp.stack(
+        [jnp.bool_(True), degenerate & pp_valid, degenerate & pp_valid])
+    best = jnp.argmax(jnp.where(allow, scores, -1))
+    return cand_F[best], cand_inl[best], degenerate
+
+
+# ---------------------------------------------------------------------------
+# MAGSAC-style F estimation — sigma-consensus (threshold-marginalized)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_hypotheses", "polish_iters"))
+def ransac_fundamental_magsac(
+    key: Array,
+    x0: Array,
+    x1: Array,
+    mask: Array,
+    sigma_max: float = 2.0,
+    n_hypotheses: int = 512,
+    polish_iters: int = 3,
+) -> tuple[Array, Array]:
+    """F-matrix RANSAC with sigma-consensus scoring (MAGSAC semantics).
+
+    The reference's fallback GV is cv2.USAC_MAGSAC
+    (matching/geometric_verification.py:87-95), which marginalizes the
+    inlier threshold over noise scales instead of fixing one. Uniformly
+    marginalizing a hard threshold over sigma in (0, sigma_max] gives the
+    closed-form hypothesis quality
+
+        q(model) = sum_i max(0, 1 - r_i / sigma_max)
+
+    (r_i = Sampson distance in px): a point at r=0 contributes 1, a point
+    at r=sigma_max contributes 0 — no single hand-picked threshold. The
+    winning model is polished by sigma-weighted least squares
+    (MAGSAC++'s iterated weighted refit). The returned mask flags
+    r < sigma_max for downstream consumers that need a hard set.
+    """
+    n = mask.shape[0]
+    idx = sample_minimal_sets(key, mask, n_hypotheses, 8)
+    weights = jax.vmap(_one_hot_weights, in_axes=(0, None))(idx, n)
+    solver = lambda w: epipolar.eight_point(x0, x1, w)
+    models = jax.vmap(solver)(weights)
+    res = jax.vmap(lambda F: epipolar.sampson_distance(F, x0, x1))(models)
+    r = jnp.sqrt(jnp.maximum(res, 0.0))
+    q = jnp.sum(jnp.maximum(0.0, 1.0 - r / sigma_max) * mask[None, :], 1)
+    best = jnp.argmax(q)
+    F = models[best]
+
+    def polish(_, F):
+        d = jnp.sqrt(jnp.maximum(
+            epipolar.sampson_distance(F, x0, x1), 0.0))
+        w = jnp.maximum(0.0, 1.0 - d / sigma_max) * mask
+        return epipolar.eight_point(x0, x1, w)
+
+    F = jax.lax.fori_loop(0, polish_iters, polish, F)
+    d = epipolar.sampson_distance(F, x0, x1)
+    inliers = (d < sigma_max**2) & mask
+    return F, inliers
+
+
+# ---------------------------------------------------------------------------
 # Essential matrix + pose — replaces findEssentialMat + recoverPose
 # ---------------------------------------------------------------------------
 
