@@ -625,9 +625,19 @@ class LightGlueMatcher(ImageMatcherBase):
     opt keys: max_keypoints (default 4096), filter_threshold (0.1),
     n_layers (9), superpoint_weights / lightglue_weights (torch .pth
     paths), superpoint_params / matcher_params (ready JAX pytrees).
+
+    opt adaptive=True enables the reference's adaptive depth/width
+    (early exit + point pruning, ref lightglue.py:491-510) via the
+    segment-jitted host loop (models/lightglue.py::match_adaptive);
+    tune with depth_confidence (0.95) / width_confidence (0.99).
+    Default off: the single fused static forward usually wins on a
+    high-latency device link.
     """
 
     def _build_models(self, opt: dict) -> None:
+        self._adaptive = bool(opt.get("adaptive", False))
+        self._depth_confidence = float(opt.get("depth_confidence", 0.95))
+        self._width_confidence = float(opt.get("width_confidence", 0.99))
         self.matcher = LightGlue(
             n_layers=int(opt.get("n_layers", 9)),
             filter_threshold=float(opt.get("filter_threshold", 0.1)),
@@ -648,6 +658,13 @@ class LightGlueMatcher(ImageMatcherBase):
             self._matcher_params = self.matcher.init(rng)
 
     def _run_matcher(self, data: dict) -> dict:
+        if self._adaptive:
+            out = self.matcher.match_adaptive(
+                self._matcher_params, data,
+                depth_confidence=self._depth_confidence,
+                width_confidence=self._width_confidence)
+            return {k: jnp.asarray(v) for k, v in out.items()
+                    if k in ("matches0", "matches1", "mscores0", "mscores1")}
         return self.matcher.match(self._matcher_params, data)
 
 

@@ -13,12 +13,17 @@ TPU-first differences:
   * static shapes: inputs are padded keypoint sets with validity masks
     (the reference pads only under torch.compile, lightglue.py:458-466);
     attention and assignment are mask-aware, outputs carry masks.
-  * static depth: all layers run every time. The reference's adaptive
-    early-exit/pruning (lightglue.py:491-510) is a data-dependent latency
-    optimization that defeats XLA compilation; on TPU the batched static
-    forward is faster than dynamic-shape gathers. The per-layer
-    token-confidence heads are still implemented (checkpoint-compatible,
-    exposed for diagnostics/masked-pruning experiments).
+  * static depth by default: all layers run every time (the batched
+    static forward is usually fastest on TPU). The reference's adaptive
+    early-exit + point pruning (lightglue.py:491-510, 563-579) is
+    available as `match_adaptive`: the forward is cut into jit-compiled
+    SEGMENTS with static shapes; at segment boundaries the (tiny)
+    confidence/matchability vectors cross to the host, which decides to
+    stop early (adaptive depth) and/or gather surviving tokens into the
+    next power-of-two capacity bucket (adaptive width) — each
+    (capacity, segment) pair compiles once and is cached. Worth it for
+    co-located hardware / very large token counts; over a high-latency
+    tunnel the extra dispatches usually cost more than the saved FLOPs.
   * batch-first everywhere; attention einsums hit the MXU in one fused
     program over (B=tile-pairs, H=4, N, 64).
 
@@ -339,6 +344,181 @@ class LightGlue:
             "mscores0": jnp.where(mask0, ms0, 0.0),
             "mscores1": jnp.where(mask1, ms1, 0.0),
             "log_assignment": scores,
+        }
+
+
+    # -- adaptive depth/width (ref lightglue.py:491-510, 563-579) -----------
+
+    def confidence_threshold(self, layer_index: int) -> float:
+        """Per-layer exit threshold (ref lightglue.py:320-324)."""
+        return 0.8 + 0.1 * float(np.exp(-4.0 * layer_index / self.n_layers))
+
+    @partial(jax.jit, static_argnums=0)
+    def _prep(self, params, data):
+        kpts0 = normalize_keypoints(data["kpts0"], data.get("size0"))
+        kpts1 = normalize_keypoints(data["kpts1"], data.get("size1"))
+        proj = lambda d: _linear(params["input_proj"],
+                                 d.astype(jnp.float32)) \
+            if "kernel" in params["input_proj"] else d
+        return (proj(data["desc0"]), proj(data["desc1"]),
+                rotary_encoding(params["posenc"], kpts0),
+                rotary_encoding(params["posenc"], kpts1))
+
+    @partial(jax.jit, static_argnums=0)
+    def _run_segment(self, stacked, d0, d1, enc0, enc1, mask0, mask1):
+        nh = self.num_heads
+
+        def body(carry, layer):
+            c0, c1 = carry
+            c0 = self_block(layer["self_attn"], c0, enc0, mask0, nh)
+            c1 = self_block(layer["self_attn"], c1, enc1, mask1, nh)
+            c0, c1 = cross_block(layer["cross_attn"], c0, c1,
+                                 mask0, mask1, nh)
+            return (c0, c1), None
+
+        (d0, d1), _ = jax.lax.scan(body, (d0, d1), stacked)
+        return d0, d1
+
+    @partial(jax.jit, static_argnums=0)
+    def _heads(self, conf_p, assign_p, d0, d1):
+        """Boundary-layer diagnostics: token confidence + matchability."""
+        return (token_confidence(conf_p, d0), token_confidence(conf_p, d1),
+                matchability(assign_p, d0), matchability(assign_p, d1))
+
+    @partial(jax.jit, static_argnums=(0, 6))
+    def _gather_side(self, d, cos, sin, mask, keep_score, cap: int):
+        """Prune-by-gather: pack the `cap` highest-priority tokens.
+
+        keep_score ranks tokens (kept-and-valid first); returns packed
+        (d, cos, sin, mask, idx) where idx maps packed slot -> original.
+        """
+        _, idx = jax.lax.top_k(keep_score, cap)           # (B, cap)
+        take = lambda a: jnp.take_along_axis(
+            a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), 1)
+        kept = jnp.take_along_axis(keep_score, idx, 1) > 0
+        return (take(d), take(cos), take(sin), kept, idx)
+
+    @partial(jax.jit, static_argnums=0)
+    def _finalize(self, assign_p, d0, d1, mask0, mask1):
+        scores = match_assignment(assign_p, d0, d1, mask0, mask1)
+        m0, m1, ms0, ms1 = filter_matches(scores, self.filter_threshold)
+        return (jnp.where(mask0, m0, -1), jnp.where(mask1, m1, -1),
+                jnp.where(mask0, ms0, 0.0), jnp.where(mask1, ms1, 0.0))
+
+    def match_adaptive(
+        self,
+        params: dict,
+        data: dict,
+        depth_confidence: float = 0.95,
+        width_confidence: float = 0.99,
+        check_every: int = 3,
+        min_capacity: int = 64,
+    ) -> dict:
+        """Adaptive-depth/width forward (host-driven segment loop).
+
+        Reference semantics (lightglue.py:491-510, 563-579): after a
+        checkpoint layer, if the fraction of confident tokens exceeds
+        depth_confidence the net exits early and the CURRENT layer's
+        assignment head extracts matches; tokens that are confident AND
+        have matchability < (1 - width_confidence) are pruned. TPU-native
+        realization: pruning gathers survivors into the next pow2
+        capacity bucket (static shapes per segment; one compile per
+        (capacity, segment-length)). Match indices are mapped back to the
+        caller's original keypoint slots.
+
+        Returns the same dict as match() minus "log_assignment", plus
+        "layers_run" and final "capacity" diagnostics.
+        """
+        mask0 = np.asarray(data["mask0"])
+        mask1 = np.asarray(data["mask1"])
+        b, m = mask0.shape
+        n = mask1.shape[1]
+        d0, d1, enc0, enc1 = self._prep(params, data)
+        jmask0, jmask1 = jnp.asarray(mask0), jnp.asarray(mask1)
+        idx0 = np.broadcast_to(np.arange(m, dtype=np.int64), (b, m)).copy()
+        idx1 = np.broadcast_to(np.arange(n, dtype=np.int64), (b, n)).copy()
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+        boundaries = list(range(check_every, self.n_layers, check_every))
+        start = 0
+        exited_at = self.n_layers
+        assign_p = params["assign"][-1]
+        for j in boundaries:
+            seg = jax.tree.map(lambda a: a[start:j], stacked)
+            d0, d1 = self._run_segment(
+                seg, d0, d1, enc0, enc1, jmask0, jmask1)
+            start = j
+            li = j - 1  # index of the layer just completed
+            c0, c1, s0, s1 = self._heads(
+                params["confidence"][li], params["assign"][li], d0, d1)
+            c0, c1 = np.asarray(c0), np.asarray(c1)
+            s0, s1 = np.asarray(s0), np.asarray(s1)
+            th = self.confidence_threshold(li)
+
+            conf0 = (c0 > th) & mask0
+            conf1 = (c1 > th) & mask1
+            nvalid = mask0.sum() + mask1.sum()
+            ratio = (conf0.sum() + conf1.sum()) / max(nvalid, 1)
+            if depth_confidence > 0 and ratio >= depth_confidence:
+                exited_at = j
+                assign_p = params["assign"][li]
+                break
+
+            if width_confidence > 0:
+                prune_th = 1.0 - width_confidence
+                keep0 = mask0 & (~conf0 | (s0 > prune_th))
+                keep1 = mask1 & (~conf1 | (s1 > prune_th))
+                cap = max(int(keep0.sum(1).max() if b else 0),
+                          int(keep1.sum(1).max() if b else 0),
+                          min_capacity)
+                cap = 1 << (cap - 1).bit_length()
+                if cap <= max(m, n) // 2:
+                    # rank: kept tokens first (score 1), the rest 0
+                    ks0 = jnp.asarray(keep0, jnp.float32)
+                    ks1 = jnp.asarray(keep1, jnp.float32)
+                    d0, c0c, c0s, jmask0, g0 = self._gather_side(
+                        d0, enc0[0], enc0[1], jmask0, ks0, cap)
+                    d1, c1c, c1s, jmask1, g1 = self._gather_side(
+                        d1, enc1[0], enc1[1], jmask1, ks1, cap)
+                    enc0, enc1 = (c0c, c0s), (c1c, c1s)
+                    g0, g1 = np.asarray(g0), np.asarray(g1)
+                    idx0 = np.take_along_axis(idx0, g0, 1)
+                    idx1 = np.take_along_axis(idx1, g1, 1)
+                    mask0 = np.asarray(jmask0)
+                    mask1 = np.asarray(jmask1)
+        else:
+            if start < self.n_layers:
+                seg = jax.tree.map(lambda a: a[start:], stacked)
+                d0, d1 = self._run_segment(
+                    seg, d0, d1, enc0, enc1, jmask0, jmask1)
+
+        pm0, pm1, pms0, pms1 = jax.tree.map(
+            np.asarray,
+            self._finalize(assign_p, d0, d1, jmask0, jmask1))
+
+        # scatter back to the original keypoint slots
+        matches0 = np.full((b, m), -1, np.int32)
+        matches1 = np.full((b, n), -1, np.int32)
+        mscores0 = np.zeros((b, m), np.float32)
+        mscores1 = np.zeros((b, n), np.float32)
+        rows = np.arange(b)[:, None]
+        v0 = pm0 > -1
+        # for each packed slot k, original slot idx0[b,k] gets target
+        # idx1[b, pm0[b,k]]
+        orig_tgt0 = np.where(v0, np.take_along_axis(
+            idx1, np.maximum(pm0, 0), 1), -1)
+        matches0[rows, idx0] = np.where(v0, orig_tgt0, -1).astype(np.int32)
+        mscores0[rows, idx0] = pms0
+        v1 = pm1 > -1
+        orig_tgt1 = np.where(v1, np.take_along_axis(
+            idx0, np.maximum(pm1, 0), 1), -1)
+        matches1[rows, idx1] = np.where(v1, orig_tgt1, -1).astype(np.int32)
+        mscores1[rows, idx1] = pms1
+        return {
+            "matches0": matches0, "matches1": matches1,
+            "mscores0": mscores0, "mscores1": mscores1,
+            "layers_run": exited_at,
+            "capacity": int(jmask0.shape[1]),
         }
 
 
