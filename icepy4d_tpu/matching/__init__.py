@@ -16,6 +16,7 @@ from icepy4d_tpu.matching.matchers import (  # noqa: F401
     FeaturesBase,
     ImageMatcherBase,
     LightGlueMatcher,
+    LoFTRMatcher,
     LOFTRMatcher,
     NearestNeighborMatcher,
     SemiDenseMatcher,

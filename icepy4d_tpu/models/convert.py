@@ -249,3 +249,122 @@ def load_params(path) -> dict:
         return node
 
     return listify(root)
+
+
+# --------------------------------------------------------------------------
+# LoFTR (kornia.feature.LoFTR layout; official zju3dv checkpoints carry a
+# "matcher." prefix which is stripped — ref matching/matchers.py:1012 loads
+# KF.LoFTR(pretrained="outdoor"))
+# --------------------------------------------------------------------------
+
+def loftr_params_from_torch(state_dict: dict) -> dict:
+    """Map a kornia-layout LoFTR state dict onto models.loftr params.
+
+    Expected key families (kornia/feature/loftr):
+      backbone.conv1/bn1, backbone.layer{1..3}.{0,1}.(conv*/bn*/downsample),
+      backbone.layer{3,2,1}_outconv(2), loftr_coarse.layers.{0..7}.*,
+      fine_preprocess.{down_proj,merge_feat}, loftr_fine.layers.{0,1}.*
+    """
+    import numpy as np
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("matcher."):
+            k = k[len("matcher."):]
+        sd[k] = _np(v)
+
+    def conv(name):
+        return {"w": sd[f"{name}.weight"].transpose(2, 3, 1, 0)}
+
+    def bn(name):
+        return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"],
+                "mean": sd[f"{name}.running_mean"],
+                "var": sd[f"{name}.running_var"]}
+
+    def block(name, has_down):
+        p = {"conv1": conv(f"{name}.conv1"), "bn1": bn(f"{name}.bn1"),
+             "conv2": conv(f"{name}.conv2"), "bn2": bn(f"{name}.bn2")}
+        if has_down:
+            p["down_conv"] = conv(f"{name}.downsample.0")
+            p["down_bn"] = bn(f"{name}.downsample.1")
+        return p
+
+    def outconv2(name):
+        return {"conv1": conv(f"{name}.0"), "bn": bn(f"{name}.1"),
+                "conv2": conv(f"{name}.3")}
+
+    backbone = {
+        "conv1": conv("backbone.conv1"),
+        "bn1": bn("backbone.bn1"),
+        "layer1": [block("backbone.layer1.0", False),
+                   block("backbone.layer1.1", False)],
+        "layer2": [block("backbone.layer2.0", True),
+                   block("backbone.layer2.1", False)],
+        "layer3": [block("backbone.layer3.0", True),
+                   block("backbone.layer3.1", False)],
+        "layer3_outconv": conv("backbone.layer3_outconv"),
+        "layer2_outconv": conv("backbone.layer2_outconv"),
+        "layer2_outconv2": outconv2("backbone.layer2_outconv2"),
+        "layer1_outconv": conv("backbone.layer1_outconv"),
+        "layer1_outconv2": outconv2("backbone.layer1_outconv2"),
+    }
+
+    def lin(name):
+        p = {"w": sd[f"{name}.weight"].T}
+        if f"{name}.bias" in sd:
+            p["b"] = sd[f"{name}.bias"]
+        return p
+
+    def enc_layer(name):
+        return {
+            "q_proj": lin(f"{name}.q_proj"),
+            "k_proj": lin(f"{name}.k_proj"),
+            "v_proj": lin(f"{name}.v_proj"),
+            "merge": lin(f"{name}.merge"),
+            "mlp0": lin(f"{name}.mlp.0"),
+            "mlp2": lin(f"{name}.mlp.2"),
+            "norm1": {"scale": sd[f"{name}.norm1.weight"],
+                      "bias": sd[f"{name}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{name}.norm2.weight"],
+                      "bias": sd[f"{name}.norm2.bias"]},
+        }
+
+    def stack_pairs(prefix, n_layers):
+        # torch layer_names alternate ['self','cross']*k
+        pairs = [{"self": enc_layer(f"{prefix}.layers.{2 * i}"),
+                  "cross": enc_layer(f"{prefix}.layers.{2 * i + 1}")}
+                 for i in range(n_layers // 2)]
+        import jax.numpy as jnp
+
+        return _tree_stack(pairs)
+
+    def _tree_stack(pairs):
+        def rec(*nodes):
+            if isinstance(nodes[0], dict):
+                return {k: rec(*[n[k] for n in nodes]) for k in nodes[0]}
+            return np.stack(nodes)
+
+        return rec(*pairs)
+
+    n_coarse = len({k.split(".")[2] for k in sd
+                    if k.startswith("loftr_coarse.layers.")})
+    n_fine = len({k.split(".")[2] for k in sd
+                  if k.startswith("loftr_fine.layers.")})
+    return {
+        "backbone": backbone,
+        "coarse": stack_pairs("loftr_coarse", n_coarse),
+        "fine_preprocess": {
+            "down_proj": lin("fine_preprocess.down_proj"),
+            "merge_feat": lin("fine_preprocess.merge_feat"),
+        },
+        "fine": stack_pairs("loftr_fine", n_fine),
+    }
+
+
+def load_torch_loftr(path) -> dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return loftr_params_from_torch(ckpt)

@@ -273,3 +273,48 @@ def test_semidense_refinement_improves_subpixel(checker_pair):
     # grid-quantized coarse matches can't express the fractional shift
     assert err(fine) < 0.3
     assert err(fine) < err(coarse)
+
+
+# ---------------------------------------------------------------------------
+# exact-architecture LoFTR matcher (detector-free, models/loftr.py)
+# ---------------------------------------------------------------------------
+
+def test_loftr_matcher_full_frame_recovers_shift(checker_pair):
+    from icepy4d_tpu.matching import LoFTRMatcher
+
+    img0, img1 = checker_pair
+    m = LoFTRMatcher({"confidence_threshold": 1e-4, "max_matches": 512})
+    ok = m.match(img0, img1, quality=Quality.HIGH,
+                 tile_selection=TileSelection.NONE,
+                 geometric_verification=GeometricVerification.NONE)
+    assert ok
+    # identical content shifted 8 px = exactly one coarse cell: even
+    # random-weight features match (cells carry identical activations)
+    assert len(m.mkpts0) > 50
+    assert m.descriptors0.shape[0] == 128
+    dx = np.median(m.mkpts0[:, 0] - m.mkpts1[:, 0])
+    dy = np.median(m.mkpts0[:, 1] - m.mkpts1[:, 1])
+    assert abs(dx - 8.0) < 2.0 and abs(dy) < 2.0
+
+
+def test_loftr_matcher_tiled(checker_pair):
+    from icepy4d_tpu.matching import LoFTRMatcher
+
+    img0, img1 = checker_pair
+    m = LoFTRMatcher({"confidence_threshold": 1e-4, "max_matches": 256})
+    ok = m.match(img0, img1, quality=Quality.HIGH,
+                 tile_selection=TileSelection.GRID,
+                 grid=[2, 1], overlap=32,
+                 geometric_verification=GeometricVerification.NONE)
+    assert ok
+    assert len(m.mkpts0) > 30
+    dx = np.median(m.mkpts0[:, 0] - m.mkpts1[:, 0])
+    assert abs(dx - 8.0) < 2.0
+    # tiled coordinates are full-image coordinates
+    assert m.mkpts0[:, 0].max() > 160
+
+
+def test_loftr_matcher_alias_is_exact_arch():
+    from icepy4d_tpu.matching import LOFTRMatcher, LoFTRMatcher
+
+    assert LOFTRMatcher is LoFTRMatcher
