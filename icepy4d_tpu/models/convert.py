@@ -368,3 +368,63 @@ def load_torch_loftr(path) -> dict:
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
     return loftr_params_from_torch(ckpt)
+
+
+# --------------------------------------------------------------------------
+# DISK (kornia.feature.DISK thin U-Net; ref thirdparty/LightGlue/lightglue/
+# disk.py:8-77 wraps it). The converter is STRUCTURAL: it groups state-dict
+# entries by down/up block index and classifies within each block by shape
+# (4-D .weight = conv kernel, its .bias = conv bias, any other 1-D .weight =
+# PReLU slope), so it tolerates submodule-naming differences between kornia
+# releases. Offline we cannot pin kornia's exact key strings; parity vs the
+# architecture itself is tested in tests/test_disk.py.
+# --------------------------------------------------------------------------
+
+def disk_params_from_torch(state_dict: dict) -> dict:
+    import re
+
+    blocks: dict[tuple, dict] = {}
+    for key, val in state_dict.items():
+        m = re.search(r"path_(down|up)\.(\d+)\.", key)
+        if m is None:
+            continue
+        blk = blocks.setdefault((m.group(1), int(m.group(2))), {})
+        arr = _np(val)
+        if key.endswith(".weight") and arr.ndim == 4:
+            blk["w"] = arr.transpose(2, 3, 1, 0)
+            blk["_conv_prefix"] = key[: -len(".weight")]
+        elif key.endswith(".weight") and arr.ndim == 1:
+            blk["alpha"] = arr
+        elif key.endswith(".bias") and arr.ndim == 1:
+            blk.setdefault("_biases", {})[key[: -len(".bias")]] = arr
+
+    def finish(blk):
+        biases = blk.pop("_biases", {})
+        prefix = blk.pop("_conv_prefix", None)
+        if prefix is not None and prefix in biases:
+            blk["b"] = biases[prefix]
+        elif biases:
+            # single remaining bias belongs to the conv
+            blk["b"] = next(iter(biases.values()))
+        if "alpha" in blk and blk["alpha"].shape[0] == 1:
+            blk["alpha"] = np.broadcast_to(
+                blk["alpha"], (blk["w"].shape[2],)).copy()
+        return blk
+
+    n_down = 1 + max(i for (d, i) in blocks if d == "down")
+    n_up = 1 + max(i for (d, i) in blocks if d == "up")
+    return {
+        "down": [finish(blocks[("down", i)]) for i in range(n_down)],
+        "up": [finish(blocks[("up", i)]) for i in range(n_up)],
+    }
+
+
+def load_torch_disk(path) -> dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    if isinstance(ckpt, dict) and "extractor" in ckpt:
+        ckpt = ckpt["extractor"]
+    return disk_params_from_torch(ckpt)

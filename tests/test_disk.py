@@ -82,3 +82,94 @@ def test_matching_io_roundtrip(tmp_path):
     r0, r1, conf = retrieve_matches_from_npz(tmp_path / "m.npz")
     np.testing.assert_allclose(r1, mk1)
     assert conf.shape == (40,)
+
+
+# ---------------------------------------------------------------------------
+# torch-oracle parity (original DISK thin U-Net; tests/oracle_disk.py)
+# ---------------------------------------------------------------------------
+
+def _torch_oracle():
+    import sys
+    from pathlib import Path
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from oracle_disk import DISK as TorchDISK
+
+    torch.manual_seed(0)
+    model = TorchDISK().eval()
+    return torch, model
+
+
+def test_disk_dense_parity_vs_torch():
+    """Converted torch weights reproduce heatmap + dense descriptors."""
+    import jax
+
+    from icepy4d_tpu.models import convert
+    from icepy4d_tpu.models.disk import unet_apply
+
+    torch, oracle = _torch_oracle()
+    params = convert.disk_params_from_torch(oracle.state_dict())
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (1, 3, 64, 96)).astype(np.float32)
+    heat_t, desc_t = oracle.heatmap_and_dense_descriptors(
+        torch.from_numpy(img))
+
+    with jax.default_matmul_precision("highest"):
+        out = unet_apply(jax.tree.map(jnp.asarray, params),
+                         jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out[0, ..., 128]), heat_t[0, 0].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out[0, ..., :128]),
+        desc_t[0].numpy().transpose(1, 2, 0), atol=2e-4)
+
+
+def test_disk_keypoint_parity_vs_torch():
+    """Full extract(): same keypoints/scores/descriptors as the oracle's
+    NMS + threshold + top-n path."""
+    import jax
+
+    from icepy4d_tpu.models import convert
+
+    torch, oracle = _torch_oracle()
+    params = convert.disk_params_from_torch(oracle.state_dict())
+
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (1, 3, 64, 96)).astype(np.float32)
+    (k_t, s_t, d_t), = oracle.detect(torch.from_numpy(img), n=128)
+
+    model = DISK(max_keypoints=128, nms_window_size=5,
+                 detection_threshold=0.0)
+    with jax.default_matmul_precision("highest"):
+        out = model.extract(jax.tree.map(jnp.asarray, params),
+                            jnp.asarray(img.transpose(0, 2, 3, 1)))
+    m = np.asarray(out["mask"][0])
+    k_j = np.asarray(out["keypoints"][0])[m]
+    s_j = np.asarray(out["scores"][0])[m]
+    d_j = np.asarray(out["descriptors"][0])[m]
+
+    assert len(k_t) > 10, "oracle found too few keypoints to test"
+    assert len(k_j) == len(k_t)
+    t = {tuple(map(int, k)): (float(s), d.numpy())
+         for k, s, d in zip(k_t, s_t, d_t)}
+    for k, s, d in zip(k_j, s_j, d_j):
+        key = tuple(map(int, k))
+        assert key in t, f"jax keypoint {key} not in oracle set"
+        s_ref, d_ref = t[key]
+        np.testing.assert_allclose(s, s_ref, atol=1e-4)
+        np.testing.assert_allclose(d, d_ref, atol=1e-3)
+
+
+def test_disk_converter_shapes_roundtrip():
+    from icepy4d_tpu.models import convert
+
+    _, oracle = _torch_oracle()
+    params = convert.disk_params_from_torch(oracle.state_dict())
+    model = DISK()
+    init = model.init()
+    import jax
+
+    assert jax.tree.map(lambda a: np.asarray(a).shape, params) == \
+        jax.tree.map(lambda a: np.asarray(a).shape, init)
