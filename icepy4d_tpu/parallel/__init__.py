@@ -23,3 +23,17 @@ from icepy4d_tpu.parallel.lightglue_sp import (  # noqa: F401
 from icepy4d_tpu.parallel.superglue_sp import (  # noqa: F401
     make_sequence_parallel_superglue,
 )
+from icepy4d_tpu.parallel.lightglue_pp import (  # noqa: F401
+    make_pipeline_parallel_lightglue,
+)
+from icepy4d_tpu.parallel.staged import (  # noqa: F401
+    StagedPipeline,
+    split_devices,
+)
+from icepy4d_tpu.parallel.distributed import (  # noqa: F401
+    EpochShard,
+    all_gather_host,
+    global_mesh,
+    init_distributed,
+    partition_epochs,
+)

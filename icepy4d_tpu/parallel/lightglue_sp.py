@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from icepy4d_tpu.models.lightglue import (NEG_INF, _linear, cross_block,
                                           normalize_keypoints,
@@ -224,7 +224,7 @@ def make_sequence_parallel_lightglue(mesh: Mesh, lg, axis: str = "seq"):
         local_fn, mesh=mesh,
         in_specs=(P(), tok3, tok3, tok, rep, tok3, tok3, tok, rep),
         out_specs=(tok, tok, tok, tok),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 Array = jax.Array
 
@@ -80,6 +80,6 @@ def make_ring_attention(mesh: Mesh, axis: str = "seq"):
         in_specs=(P(None, None, axis, None), P(None, None, axis, None),
                   P(None, None, axis, None), P(None, axis)),
         out_specs=P(None, None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

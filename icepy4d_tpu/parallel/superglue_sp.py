@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from icepy4d_tpu.models.superglue import (NEG, _attn_propagation, _linear,
                                           keypoint_encoder,
@@ -182,7 +182,7 @@ def make_sequence_parallel_superglue(mesh: Mesh, sg, axis: str = "seq"):
         in_specs=(P(), tok3, tok3, tok, tok, rep,
                   tok3, tok3, tok, tok, rep),
         out_specs=(tok, tok, tok, tok),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -644,3 +644,48 @@ class Pipeline:
             prev = epoch
             self._timer.update(f"epoch_{ep}")
         return self.epoches
+
+    def run_distributed(self) -> Epoches:
+        """Multi-slice season run (SURVEY §2.12 DCN item).
+
+        Each ``jax.distributed`` process runs its contiguous epoch
+        shard (parallel/distributed.py::partition_epochs) with the
+        standard per-epoch flow; per-epoch checkpoints land in the
+        shared results dir keyed by epoch index, exactly like the
+        resume path, so process 0 (or any later run) can assemble the
+        whole season. Epochs are embarrassingly parallel — the only
+        inter-slice traffic is the final scalar-summary all-gather.
+
+        Single-process (jax.distributed not initialized) degrades to
+        run().
+        """
+        import jax
+
+        from icepy4d_tpu.parallel.distributed import (all_gather_host,
+                                                      partition_epochs)
+
+        proc = self.cfg.get("proc", DotDict())
+        todo = proc.get("epoch_to_process", "all")
+        if todo == "all" or todo is None:
+            todo = list(range(len(self.epoch_map)))
+        shard = partition_epochs(len(todo))
+        mine = [todo[i] for i in shard.indices]
+        logger.info("process %d/%d takes epochs %s",
+                    jax.process_index(), jax.process_count(), mine)
+
+        prev = None
+        for ep in mine:
+            if ep >= len(self.epoch_map):
+                break
+            epoch = self.process_epoch(ep, prev)
+            self.epoches.add_epoch(epoch, ep)
+            prev = epoch
+            self._timer.update(f"epoch_{ep}")
+
+        if jax.process_count() > 1:
+            # fixed-shape summary (pad to the max shard length)
+            summaries = all_gather_host({"epochs_done": np.asarray(
+                [len(mine)], np.float32)})
+            logger.info("season summary: per-process epochs %s",
+                        summaries["epochs_done"].ravel().tolist())
+        return self.epoches

@@ -191,3 +191,50 @@ def test_sequence_parallel_superglue_matches_dense():
     m1_agree = (np.asarray(dense["matches1"])
                 == np.asarray(sp["matches1"])).mean()
     assert m1_agree > 0.99, f"matches1 agreement {m1_agree}"
+
+
+def test_pipeline_parallel_lightglue_matches_dense():
+    """GPipe-staged layers over a 4-stage pp axis == the single-device
+    forward, for a streamed 8-pair batch (2 pairs/microbatch)."""
+    from icepy4d_tpu.models.lightglue import LightGlue
+    from icepy4d_tpu.parallel.lightglue_pp import (
+        make_pipeline_parallel_lightglue)
+
+    mesh = make_mesh(4, dp=4, tp=1, axis_names=("pp", "unused"))
+    lg = LightGlue(n_layers=8, precision="highest")
+    params = lg.init(jax.random.PRNGKey(0))
+
+    r = np.random.default_rng(5)
+    b, n, d = 8, 32, 256
+    data = {
+        "kpts0": jnp.asarray(r.uniform(0, 64, (b, n, 2)), jnp.float32),
+        "kpts1": jnp.asarray(r.uniform(0, 64, (b, n, 2)), jnp.float32),
+        "desc0": jnp.asarray(r.normal(size=(b, n, d)), jnp.float32),
+        "desc1": jnp.asarray(r.normal(size=(b, n, d)), jnp.float32),
+        "mask0": jnp.asarray(r.uniform(size=(b, n)) < 0.9),
+        "mask1": jnp.asarray(r.uniform(size=(b, n)) < 0.9),
+        "size0": jnp.broadcast_to(jnp.asarray([64.0, 64.0]), (b, 2)),
+        "size1": jnp.broadcast_to(jnp.asarray([64.0, 64.0]), (b, 2)),
+    }
+
+    ref = lg.match(params, data)
+    pp = make_pipeline_parallel_lightglue(mesh, lg, axis="pp")
+    out = pp(params, data)
+
+    np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                  np.asarray(ref["matches0"]))
+    np.testing.assert_allclose(np.asarray(out["mscores0"]),
+                               np.asarray(ref["mscores0"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["log_assignment"]),
+                               np.asarray(ref["log_assignment"]),
+                               atol=1e-4)
+
+
+def test_pipeline_parallel_rejects_bad_split():
+    from icepy4d_tpu.models.lightglue import LightGlue
+    from icepy4d_tpu.parallel.lightglue_pp import (
+        make_pipeline_parallel_lightglue)
+
+    mesh = make_mesh(4, dp=4, tp=1, axis_names=("pp", "unused"))
+    with pytest.raises(ValueError):
+        make_pipeline_parallel_lightglue(mesh, LightGlue(n_layers=9))

@@ -169,3 +169,19 @@ def test_resume_preserves_track_id_continuity(cfg):
     ids1 = set(eps[1].features["cam1"].track_ids_to_numpy().tolist())
     assert ids0b == ids0                 # loaded epoch untouched
     assert not (ids1 & ids0)             # fresh ids do not collide
+
+
+def test_pipeline_run_distributed_single_process(cfg):
+    """Without jax.distributed, run_distributed == run (full season)."""
+    import copy
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    dcfg = DotDict.wrap(copy.deepcopy(dict(cfg)))
+    dcfg.proc.epoch_to_process = [0, 1]
+    dcfg.proc.save_checkpoints = False
+    dcfg.proc.load_existing_results = False
+    pipe = Pipeline(dcfg)
+    epoches = pipe.run_distributed()
+    assert len(epoches) == 2
