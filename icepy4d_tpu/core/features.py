@@ -134,6 +134,10 @@ class Features:
     def last_track_id(self) -> int:
         return self._last_track_id
 
+    @property
+    def descr_dim(self) -> int:
+        return self._descr.shape[1]
+
     def set_last_track_id(self, tid: int) -> None:
         self._last_track_id = int(tid)
 

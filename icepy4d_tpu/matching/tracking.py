@@ -145,25 +145,37 @@ def track_matches(
 
     For every camera, re-find the previous features in the new image;
     keep only features re-found in ALL cameras (the reference's
-    `wasMatched sum == 2` rule, track_matches.py:353-363). Returns
-    per-camera Features for the new epoch carrying the old track_ids.
+    `wasMatched sum == 2` rule, track_matches.py:353-363, applied
+    per-camera-generically for n >= 2). Cameras may carry different id
+    sets (multicam epochs: slaves only hold the tracks they saw) —
+    tracking runs on the INTERSECTION of ids present in every camera.
+    Returns per-camera Features for the new epoch carrying the old
+    track_ids.
     """
     cams = list(prev_features.keys())
-    base = prev_features[cams[0]]
-    track_ids = base.track_ids_to_numpy()
+    common = None
+    for cam in cams:
+        ids = prev_features[cam].track_ids_to_numpy()
+        common = ids if common is None else np.intersect1d(common, ids)
+    track_ids = np.sort(np.asarray(common))
+    if len(track_ids) == 0:
+        logger.warning("track_matches: no track ids shared by all "
+                       "%d cameras", len(cams))
+        return {cam: Features(
+            descr_dim=prev_features[cam].descr_dim) for cam in cams}
     per_cam = {}
     found_all = np.ones(len(track_ids), bool)
     for cam in cams:
         f = prev_features[cam]
         ids = f.track_ids_to_numpy()
-        if not np.array_equal(np.sort(ids), np.sort(track_ids)):
-            raise ValueError("cameras disagree on tracked ids")
+        # rows of this camera aligned to the sorted common id list
         order = np.argsort(ids)
+        pos = order[np.searchsorted(ids[order], track_ids)]
         aligned = {
-            "kpts": f.kpts_to_numpy()[order],
-            "descr": f.descr_to_numpy()[order],
-            "scores": f.scores_to_numpy()[order],
-            "ids": ids[order],
+            "kpts": f.kpts_to_numpy()[pos],
+            "descr": f.descr_to_numpy()[pos],
+            "scores": f.scores_to_numpy()[pos],
+            "ids": ids[pos],
         }
         nk, ok, nd, ns = track_features(
             matcher, aligned["kpts"], aligned["descr"], aligned["scores"],

@@ -343,14 +343,17 @@ class Pipeline:
 
     # -- multi-camera (n > 2) ----------------------------------------------------
 
-    def _process_multicam(self, epoch: Epoch):
+    def _process_multicam(self, epoch: Epoch, prev: Epoch | None = None):
         """Master-centric n-camera epoch: match master vs every slave,
         merge per-slave matches into tracks keyed by the (deterministic)
         master keypoint, orient each slave against the master, then
         triangulate + absolute orientation + BA over the full (P, C)
-        observation grid. (Beyond the reference, which is stereo-only;
-        temporal tracking is not yet wired for n > 2.)"""
+        observation grid. Temporal tracking (do_tracking) seeds from the
+        previous epoch per-camera-generically — a track survives if
+        re-found in every camera (ref track_matches.py:353-363 rule,
+        extended to n >= 2)."""
         cfg = self.cfg.get("matching", DotDict())
+        proc = self.cfg.get("proc", DotDict())
         g = self.cfg.get("georef", DotDict())
         master = self.cams[0]
         slaves = self.cams[1:]
@@ -358,6 +361,17 @@ class Pipeline:
         quality = Quality[str(cfg.get("quality", "high")).upper()]
         tile = TileSelection[str(cfg.get("tile_selection",
                                          "none")).upper()]
+
+        tracked = None
+        if prev is not None and bool(proc.get("do_tracking", False)) \
+                and all(len(prev.features.get(c, [])) for c in self.cams):
+            tracked = track_matches(
+                self.matcher,
+                {c: prev.features[c] for c in self.cams},
+                {c: epoch.images[c].value for c in self.cams},
+                grid=tuple(cfg.get("tracking_grid", (1, 1))),
+                quality=str(cfg.get("quality", "high")),
+            )
 
         tracks: dict[tuple, dict] = {}
         for sl in slaves:
@@ -369,11 +383,18 @@ class Pipeline:
                 threshold=float(self.cfg.get("other", {}).get(
                     "pydegensac_threshold", 1.0)),
             )
-            for xym, xys in zip(self.matcher.mkpts0, self.matcher.mkpts1):
+            d_m = self.matcher.descriptors0.T
+            d_s = self.matcher.descriptors1.T
+            s_m = self.matcher.scores0
+            s_s = self.matcher.scores1
+            for i, (xym, xys) in enumerate(
+                    zip(self.matcher.mkpts0, self.matcher.mkpts1)):
                 key = (round(float(xym[0]) * 10),
                        round(float(xym[1]) * 10))
-                e = tracks.setdefault(key, {"m": xym, "obs": {}})
-                e["obs"][sl] = xys
+                e = tracks.setdefault(
+                    key, {"m": xym, "md": d_m[i], "ms": s_m[i],
+                          "obs": {}})
+                e["obs"][sl] = (xys, d_s[i], s_s[i])
         if len(tracks) < 8:
             logger.warning("epoch %s: %d multicam tracks",
                            epoch.date_str, len(tracks))
@@ -384,13 +405,21 @@ class Pipeline:
         ids = np.arange(self._next_track_id, self._next_track_id + p,
                         dtype=np.int32)
         self._next_track_id += p
+        dd = self.matcher.descriptor_dim
         xy = {master: np.stack([t["m"] for t in track_list])}
+        descr = {master: np.stack([t["md"] for t in track_list])}
+        scores = {master: np.asarray([t["ms"] for t in track_list],
+                                     np.float32)}
         for sl in slaves:
             a = np.full((p, 2), np.nan, np.float32)
+            d = np.zeros((p, dd), np.float32)
+            s = np.zeros((p,), np.float32)
             for i, t in enumerate(track_list):
                 if sl in t["obs"]:
-                    a[i] = t["obs"][sl]
+                    a[i], d[i], s[i] = t["obs"][sl]
             xy[sl] = a
+            descr[sl] = d
+            scores[sl] = s
 
         # per-slave relative orientation (scale from surveyed centers)
         centers = g.get("camera_centers_world", None)
@@ -467,12 +496,20 @@ class Pipeline:
                 epoch.cameras[c] = out.cameras[c]
             pts3d = out.points
 
-        # store per-camera Features (master: all tracks; slaves: seen)
+        # store per-camera Features (master: all tracks; slaves: seen),
+        # with descriptors/scores so the next epoch can seed tracking
         for c in self.cams:
             seen = np.isfinite(xy[c]).all(axis=1)
-            feats = Features()
+            feats = Features(descr_dim=dd)
             feats.append_features_from_numpy(
-                xy[c][seen], track_ids=ids[seen])
+                xy[c][seen], descr=descr[c][seen],
+                scores=scores[c][seen], track_ids=ids[seen])
+            if tracked is not None and len(tracked[c]):
+                t = tracked[c]
+                feats.append_features_from_numpy(
+                    t.kpts_to_numpy(), descr=t.descr_to_numpy(),
+                    scores=t.scores_to_numpy(),
+                    track_ids=t.track_ids_to_numpy())
             epoch.features[c] = feats
         return pts3d, xy
 
@@ -536,7 +573,7 @@ class Pipeline:
 
         image_points = None
         if len(self.cams) > 2:
-            pts3d, image_points = self._process_multicam(epoch)
+            pts3d, image_points = self._process_multicam(epoch, prev)
         else:
             self._match_epoch(epoch, prev)
             pts3d = self._orient_epoch(epoch)

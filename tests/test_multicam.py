@@ -131,6 +131,8 @@ class GroundTruthMatcher:
                & (uv[:, 1] > 5) & (uv[:, 1] < H - 5))
         return uv, inb
 
+    descriptor_dim = 32
+
     def match(self, im0, im1, **kw):
         # which slave? images are rendered per camera; track call order
         self._call += 1
@@ -140,6 +142,15 @@ class GroundTruthMatcher:
         self.mkpts0 = uv0[ok].astype(np.float32)
         self.mkpts1 = (uv1[ok] + self._noise.normal(0, 0.2, (ok.sum(), 2))
                        ).astype(np.float32)
+        # deterministic per-scene-point descriptors (id encodings), as a
+        # real extractor would give stable descriptors per 3-D point
+        ids = np.where(ok)[0]
+        d = np.zeros((len(ids), self.descriptor_dim), np.float32)
+        d[np.arange(len(ids)), ids % self.descriptor_dim] = 1.0
+        self.descriptors0 = d.T.copy()
+        self.descriptors1 = d.T.copy()
+        self.scores0 = np.ones(len(ids), np.float32)
+        self.scores1 = np.ones(len(ids), np.float32)
         return True
 
 
@@ -193,3 +204,72 @@ def test_multicam_pipeline_recovers_geometry(rig, tmp_path):
     # CSV sinks written
     assert (tmp_path / "residuals_image.csv").exists()
     assert (tmp_path / "estimated_cameras.csv").exists()
+
+
+def test_multicam_temporal_tracking_wiring(rig, tmp_path, monkeypatch):
+    """Epoch t>0 seeds track_matches with ALL cameras' previous features
+    and appends the survivors (old track ids) to every camera."""
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu import pipeline as pipeline_mod
+    from icepy4d_tpu.core.features import Features
+
+    root, extr = rig
+    # second epoch: same images, one hour later
+    import shutil
+    for cam in ("cam1", "cam2", "cam3"):
+        d = root / "img" / cam
+        srcs = sorted(d.glob("IMG_*00.png"))
+        src = srcs[0]
+        dst = d / src.name.replace("00", "01")
+        if not dst.exists():
+            shutil.copy(src, dst)
+        os.utime(dst, (os.path.getmtime(src) + 3600,
+                       os.path.getmtime(src) + 3600))
+
+    calls = {}
+
+    def fake_track_matches(matcher, prev_features, new_images, **kw):
+        calls["cams"] = sorted(prev_features)
+        calls["imgs"] = sorted(new_images)
+        out = {}
+        for c, f in prev_features.items():
+            ids = f.track_ids_to_numpy()[:7]
+            feats = Features(descr_dim=f.descr_dim)
+            feats.append_features_from_numpy(
+                np.full((7, 2), 3.0, np.float32),
+                descr=np.zeros((7, f.descr_dim), np.float32),
+                scores=np.ones(7, np.float32), track_ids=ids)
+            out[c] = feats
+        return out
+
+    monkeypatch.setattr(pipeline_mod, "track_matches", fake_track_matches)
+
+    cfg = DotDict.wrap({
+        "paths": {"image_dir": str(root / "img"),
+                  "calibration_dir": str(root / "calib"),
+                  "results_dir": str(tmp_path)},
+        "proc": {"epoch_to_process": [0, 1], "do_tracking": True,
+                 "do_ba": False, "save_checkpoints": False,
+                 "use_mtime_fallback": True},
+        "georef": {
+            "camera_centers_world": CENTERS,
+            "target_dir": str(root / "targets"),
+            "target_world_file": "target_world.csv",
+            "targets_to_use": ["T0", "T1", "T2", "T3"],
+        },
+        "other": {"pydegensac_threshold": 2.0},
+        "matching": {"matcher": "nn", "quality": "high",
+                     "tile_selection": "none", "max_keypoints": 1024},
+    })
+    pipe = Pipeline(cfg)
+    pipe.matcher = GroundTruthMatcher(extr + extr)
+    epoches = pipe.run()
+
+    assert calls["cams"] == ["cam1", "cam2", "cam3"]
+    assert calls["imgs"] == ["cam1", "cam2", "cam3"]
+    ep0, ep1 = epoches[0], epoches[1]
+    for c in ("cam1", "cam2", "cam3"):
+        ids0 = set(ep0.features[c].track_ids_to_numpy().tolist())
+        ids1 = set(ep1.features[c].track_ids_to_numpy().tolist())
+        # 7 tracked ids from epoch 0 survive into epoch 1
+        assert len(ids0 & ids1) == 7

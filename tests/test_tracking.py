@@ -89,3 +89,57 @@ def test_track_matches_intersects_cameras(matcher, frames):
     ids2 = set(new["cam2"].track_ids_to_numpy().tolist())
     assert ids1 == ids2
     assert ids1.issubset(set(ids.tolist()))
+
+
+def test_track_matches_three_cameras_differing_ids(matcher, frames):
+    """n=3 generalization (ref track_matches.py is per-camera generic):
+    cameras carry DIFFERENT id subsets (multicam epochs: slaves only
+    hold the tracks they saw); tracking runs on the intersection and a
+    track survives only if re-found in every camera."""
+    f0, f1 = frames
+    kpts, descr, scores = _extract_host(matcher, f0)
+    n = len(kpts)
+    assert n > 30
+    ids = np.arange(500, 500 + n, dtype=np.int32)
+
+    def feats(sl):
+        return Features.from_numpy(kpts[sl], descr=descr[sl],
+                                   scores=scores[sl], track_ids=ids[sl])
+
+    # cam2 misses the first 5 tracks, cam3 the last 5
+    prev = {
+        "cam1": feats(slice(None)),
+        "cam2": feats(slice(5, None)),
+        "cam3": feats(slice(None, n - 5)),
+    }
+    new = track_matches(matcher, prev,
+                        {"cam1": f1, "cam2": f1, "cam3": f1}, grid=(1, 1))
+    assert set(new) == {"cam1", "cam2", "cam3"}
+    sets = [set(new[c].track_ids_to_numpy().tolist()) for c in new]
+    assert sets[0] == sets[1] == sets[2]
+    common = set(ids[5:n - 5].tolist())
+    assert sets[0] and sets[0].issubset(common)
+    # tracked positions moved by the pan
+    k_old = {i: k for i, k in zip(ids, kpts)}
+    for c in new:
+        k_new = new[c].kpts_to_numpy()
+        i_new = new[c].track_ids_to_numpy()
+        dx = np.asarray([k_new[j, 0] - k_old[i][0]
+                         for j, i in enumerate(i_new)])
+        assert abs(np.median(dx) + SHIFT) < 1.0
+
+
+def test_track_matches_no_common_ids(matcher, frames):
+    f0, f1 = frames
+    kpts, descr, scores = _extract_host(matcher, f0)
+    ids = np.arange(len(kpts), dtype=np.int32)
+    prev = {
+        "cam1": Features.from_numpy(kpts[:10], descr=descr[:10],
+                                    scores=scores[:10],
+                                    track_ids=ids[:10]),
+        "cam2": Features.from_numpy(kpts[10:20], descr=descr[10:20],
+                                    scores=scores[10:20],
+                                    track_ids=ids[10:20]),
+    }
+    new = track_matches(matcher, prev, {"cam1": f1, "cam2": f1})
+    assert all(len(v) == 0 for v in new.values())
