@@ -9,7 +9,14 @@ from icepy4d_tpu.io.export2bundler import (  # noqa: F401
 )
 from icepy4d_tpu.io.export2colmap import (  # noqa: F401
     export_solution_to_colmap,
+    export_solution_to_colmap_binary,
+    export_to_colmap_database,
     features_to_h5,
+)
+from icepy4d_tpu.io.colmap import (  # noqa: F401
+    COLMAPDatabase,
+    read_model as read_colmap_model,
+    write_model as write_colmap_model,
 )
 from icepy4d_tpu.io.export2calge import (  # noqa: F401
     export_keypoints_for_calge,

@@ -70,6 +70,93 @@ def export_solution_to_colmap(
     return export_dir
 
 
+def export_solution_to_colmap_binary(
+    export_dir,
+    images: dict,
+    cameras: dict,
+    points=None,
+) -> Path:
+    """Write a COLMAP sparse BINARY model (cameras/images/points3D.bin)
+    — what COLMAP's GUI/CLI loads directly (io/colmap.py formats).
+    """
+    from icepy4d_tpu.io.colmap import (ColmapCamera, ColmapImage,
+                                       ColmapPoint3D, rotmat2qvec,
+                                       write_model)
+
+    export_dir = Path(export_dir)
+    cams = list(cameras.keys())
+    ccams, cimgs = {}, {}
+    for ci, c in enumerate(cams, start=1):
+        cam = cameras[c]
+        K = np.asarray(cam.K)
+        d = np.asarray(cam.dist).ravel()
+        ccams[ci] = ColmapCamera(
+            ci, "OPENCV", int(cam.width), int(cam.height),
+            np.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                        d[0], d[1], d[2], d[3]], np.float64))
+        E = np.asarray(cam.extrinsics, np.float64)
+        name = images[c].name if c in images else f"{c}.jpg"
+        cimgs[ci] = ColmapImage(ci, rotmat2qvec(E[:3, :3]), E[:3, 3],
+                                ci, str(name))
+    cpts = {}
+    if points is not None and len(points):
+        xyz = points.to_numpy()
+        col = points.colors_to_numpy(as_uint8=True)
+        ids = points.track_ids_to_numpy()
+        im_ids = np.arange(1, len(cams) + 1, dtype=np.int32)
+        for i in range(len(xyz)):
+            cpts[int(ids[i])] = ColmapPoint3D(
+                int(ids[i]), xyz[i].astype(np.float64), col[i], 0.0,
+                im_ids, np.full(len(cams), i, np.int32))
+    write_model(ccams, cimgs, cpts, export_dir, ext=".bin")
+    logger.info("COLMAP binary model written to %s", export_dir)
+    return export_dir
+
+
+def export_to_colmap_database(
+    db_path,
+    images: dict,
+    cameras: dict,
+    features: dict | None = None,
+    matches: dict | None = None,
+) -> Path:
+    """Create a COLMAP project database (io/colmap.py::COLMAPDatabase)
+    with cameras, images, keypoints and matches — the entry point for
+    running COLMAP's own mapper on matches produced by this framework
+    (ref io/colmap_utils/database.py, unwired there).
+
+    matches: {(cam_a, cam_b): (N, 2) int array of keypoint-row pairs}.
+    """
+    from icepy4d_tpu.io.colmap import COLMAPDatabase
+
+    db_path = Path(db_path)
+    db_path.parent.mkdir(parents=True, exist_ok=True)
+    if db_path.exists():
+        db_path.unlink()
+    db = COLMAPDatabase.connect(db_path)
+    try:
+        ids = {}
+        for c, cam in cameras.items():
+            K = np.asarray(cam.K)
+            d = np.asarray(cam.dist).ravel()
+            cam_id = db.add_camera(
+                "OPENCV", cam.width, cam.height,
+                [K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                 d[0], d[1], d[2], d[3]], prior_focal_length=True)
+            name = images[c].name if c in images else f"{c}.jpg"
+            ids[c] = db.add_image(name, cam_id)
+            if features is not None and c in features:
+                db.add_keypoints(ids[c], features[c].kpts_to_numpy())
+        for (a, b), m in (matches or {}).items():
+            db.add_matches(ids[a], ids[b], np.asarray(m))
+            db.add_two_view_geometry(ids[a], ids[b], np.asarray(m))
+        db.commit()
+    finally:
+        db.close()
+    logger.info("COLMAP database written to %s", db_path)
+    return db_path
+
+
 def features_to_h5(
     export_dir,
     images: dict,
