@@ -99,6 +99,8 @@ def main() -> None:
             f"bench not end-to-end: putative={putative} "
             f"inliers={inliers} gv_s={gv_s}")
 
+    epm, epm_warm = bench_pipeline_epochs()
+
     print(json.dumps({
         "metric": "lightglue_fullres_pair_match",
         "value": round(best, 3),
@@ -107,7 +109,64 @@ def main() -> None:
         "putative_matches": putative,
         "inliers": inliers,
         "gv_s": round(gv_s, 4),
+        "epochs_per_min": epm,
+        "epochs_per_min_warm": epm_warm,
     }))
+
+
+def bench_pipeline_epochs():
+    """Secondary driver-visible metric: full-pipeline epochs/min on the
+    reference 4-epoch asset season (match -> GV -> orientation -> AO ->
+    BA -> checkpoints), LightGlue HIGH quality, double-buffered uploads.
+    North star: >= 20 epochs/min (BASELINE.md). Returns (cold, warm)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    assets = Path("/root/reference/assets")
+    out = Path(tempfile.mkdtemp(prefix="bench_pipeline_"))
+    cfg = DotDict.wrap({
+        "paths": {"image_dir": str(assets / "img"),
+                  "calibration_dir": str(assets / "calib"),
+                  "results_dir": str(out)},
+        "proc": {"epoch_to_process": [0, 1, 2, 3], "do_tracking": True,
+                 "do_ba": True, "save_checkpoints": True,
+                 "load_existing_results": False},
+        "georef": {
+            "camera_centers_world": np.array(
+                [[151.962, 99.065, 91.643],
+                 [309.261, 301.051, 135.008]], np.float32),
+            "target_dir": str(assets / "targets"),
+            "target_file_ext": ".csv",
+            "target_world_file": "target_world.csv",
+            "targets_to_use": ["F2", "F12", "F13"],
+        },
+        "other": {"pydegensac_threshold": 2.0},
+        "matching": {"matcher": "lightglue", "quality": "high",
+                     "tile_selection": "none",
+                     "max_keypoints": 4096,
+                     "options": {"filter_threshold": 0.0}},
+        "ba": {"camera_location_accuracy": 0.5, "fit_f": False,
+               "max_iters": 30},
+    })
+
+    def run_once():
+        pipe = Pipeline(cfg)
+        t0 = time.perf_counter()
+        eps = pipe.run()
+        dt = time.perf_counter() - t0
+        return len(eps) * 60.0 / dt
+
+    try:
+        cold = run_once()     # includes compile of every pipeline shape
+        warm = run_once()     # steady-state (a season reuses all shapes)
+        return round(cold, 2), round(warm, 2)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 if __name__ == "__main__":

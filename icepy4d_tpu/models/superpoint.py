@@ -152,6 +152,12 @@ class SuperPoint:
         self.precision = precision
         self.net = SuperPointNet(descriptor_dim=descriptor_dim, dtype=dtype)
 
+    def _use_pallas_nms(self, h: int) -> bool:
+        from icepy4d_tpu.ops.pallas_nms import pallas_nms_available
+
+        return (jax.default_backend() == "tpu"
+                and pallas_nms_available(h, self.nms_radius))
+
     # hash/eq by configuration: jit caches (self is a static argnum)
     # survive across instances with the same settings
     def _key(self):
@@ -190,16 +196,23 @@ class SuperPoint:
             images = jnp.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)))
         b, h, w, _ = images.shape
         heat, dense_desc = self.net.apply(params, images)
-        heat = simple_nms(heat, self.nms_radius)
 
-        # border removal (ref superpoint.py:53-60); original image edge
-        # (not the padded one) counts as the border
+        # NMS + border removal (ref superpoint.py:32-60); original image
+        # edge (not the padded one) counts as the border. On TPU the
+        # whole suppression chain runs as ONE fused Pallas pass
+        # (ops/pallas_nms.py) instead of ~11 HBM round-trips.
         r = max(self.remove_borders, 1)
-        ys = jnp.arange(h)
-        xs = jnp.arange(w)
-        border = ((ys < r) | (ys >= h0 - r))[:, None] | \
-                 ((xs < r) | (xs >= w0 - r))[None, :]
-        heat = jnp.where(border[None], 0.0, heat)
+        if self._use_pallas_nms(h):
+            from icepy4d_tpu.ops.pallas_nms import fused_nms_border
+
+            heat = fused_nms_border(heat, self.nms_radius, r, h0, w0)
+        else:
+            heat = simple_nms(heat, self.nms_radius)
+            ys = jnp.arange(h)
+            xs = jnp.arange(w)
+            border = ((ys < r) | (ys >= h0 - r))[:, None] | \
+                     ((xs < r) | (xs >= w0 - r))[None, :]
+            heat = jnp.where(border[None], 0.0, heat)
 
         k = min(self.max_keypoints, h * w)
         flat = heat.reshape(b, -1)

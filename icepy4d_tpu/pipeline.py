@@ -81,6 +81,30 @@ class Pipeline:
         # features keep theirs (ref set_last_track_id,
         # matching_tracking.py:152-154)
         self._next_track_id = 0
+        # double-buffered uploads: a worker thread decodes + grayscales
+        # + device_puts the NEXT epoch's frames while the current epoch
+        # computes (the host link is the measured bottleneck on remote
+        # TPU; transfers are async and overlap with in-flight dispatch)
+        self._prefetched: dict[int, dict] = {}
+        self._active_prefetch: dict | None = None
+
+    def _prefetch_epoch_images(self, ep: int) -> None:
+        import jax
+
+        try:
+            images = self.epoch_map.get_images(ep)
+            out = {}
+            for c in self.cams:
+                img = images[c].value
+                if isinstance(img, np.ndarray) and img.ndim == 3 \
+                        and img.dtype == np.uint8:
+                    import cv2
+
+                    img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+                out[c] = jax.device_put(img)
+            self._prefetched[ep] = out
+        except Exception as e:  # prefetch is best-effort
+            logger.debug("prefetch of epoch %d failed: %s", ep, e)
 
     # -- per-epoch helpers ---------------------------------------------------
 
@@ -142,6 +166,12 @@ class Pipeline:
         proc = self.cfg.get("proc", DotDict())
         im0 = epoch.images[self.cams[0]].value
         im1 = epoch.images[self.cams[1]].value
+        # prefetched frames are already grayscale on device; temporal
+        # tracking below keeps using the cached HOST images (its seeding
+        # path converts via numpy)
+        pf = self._active_prefetch or {}
+        dev0 = pf.get(self.cams[0], im0)
+        dev1 = pf.get(self.cams[1], im1)
 
         quality = Quality[str(cfg.get("quality", "high")).upper()]
         if prev is not None and bool(proc.get("do_tracking", False)) \
@@ -161,7 +191,7 @@ class Pipeline:
             "geometric_verification", "pydegensac")).upper()]
         do_viz = bool(self.cfg.get("other", {}).get("do_viz", False))
         self.matcher.match(
-            im0, im1,
+            dev0, dev1,
             quality=quality,
             tile_selection=tile,
             grid=list(cfg.get("grid", [1, 1])),
@@ -571,6 +601,7 @@ class Pipeline:
                 logger.warning("re-processing epoch %s: %s",
                                epoch.date_str, e)
 
+        self._active_prefetch = self._prefetched.pop(ep, None)
         image_points = None
         if len(self.cams) > 2:
             pts3d, image_points = self._process_multicam(epoch, prev)
@@ -671,15 +702,20 @@ class Pipeline:
         todo = proc.get("epoch_to_process", "all")
         if todo == "all" or todo is None:
             todo = list(range(len(self.epoch_map)))
+        from concurrent.futures import ThreadPoolExecutor
+
         prev = None
-        for ep in todo:
-            if ep >= len(self.epoch_map):
-                break
-            logger.info("=== Epoch %d / %d ===", ep, len(todo))
-            epoch = self.process_epoch(ep, prev)
-            self.epoches.add_epoch(epoch, ep)
-            prev = epoch
-            self._timer.update(f"epoch_{ep}")
+        todo = [ep for ep in todo if ep < len(self.epoch_map)]
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for i, ep in enumerate(todo):
+                if i + 1 < len(todo):
+                    pool.submit(self._prefetch_epoch_images, todo[i + 1])
+                logger.info("=== Epoch %d / %d ===", ep, len(todo))
+                epoch = self.process_epoch(ep, prev)
+                self.epoches.add_epoch(epoch, ep)
+                prev = epoch
+                self._timer.update(f"epoch_{ep}")
+        self._prefetched.clear()
         return self.epoches
 
     def run_distributed(self) -> Epoches:
