@@ -17,6 +17,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# test harness hook: the axon TPU plugin ignores JAX_PLATFORMS, so CPU
+# forcing must go through jax.config before any backend touch
+import os
+
+if os.environ.get("ICEPY4D_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     import cv2
@@ -28,11 +37,13 @@ def main() -> None:
     ap.add_argument("--max-keypoints", type=int, default=4096)
     ap.add_argument("--weights-dir", default=None,
                     help="dir with superpoint_v1.pth etc. (optional)")
+    ap.add_argument("--out", default=None,
+                    help="optional dir for saved matches/plots")
     args = ap.parse_args()
     A = Path(args.assets)
 
     from icepy4d_tpu.matching import (GeometricVerification,
-                                      LightGlueMatcher,
+                                      LightGlueMatcher, LoFTRMatcher,
                                       NearestNeighborMatcher, Quality,
                                       SemiDenseMatcher, SuperGlueMatcher,
                                       TileSelection)
@@ -59,6 +70,12 @@ def main() -> None:
                      (Path(args.weights_dir) /
                       "superpoint_lightglue.pth").exists() else {}))),
         "SuperGlue": SuperGlueMatcher(dict(opts)),
+        "LoFTR": LoFTRMatcher(dict(
+            opts, **({"loftr_weights":
+                      str(Path(args.weights_dir) / "outdoor_ds.ckpt")}
+                     if args.weights_dir and
+                     (Path(args.weights_dir) /
+                      "outdoor_ds.ckpt").exists() else {}))),
     }
     kwargs = dict(
         quality=Quality[args.quality.upper()],
@@ -77,6 +94,8 @@ def main() -> None:
         warm = time.perf_counter() - t0
         print(f"{name:<16} {cold:>8.2f} {warm:>8.2f} "
               f"{len(m.mkpts0):>8d}")
+        if args.out:
+            m.save_mkpts_as_txt(Path(args.out) / name)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,15 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# test harness hook: the axon TPU plugin ignores JAX_PLATFORMS, so CPU
+# forcing must go through jax.config before any backend touch
+import os
+
+if os.environ.get("ICEPY4D_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -46,10 +46,20 @@ from icepy4d_tpu.core import (  # noqa: F401
 )
 
 
+_LAZY_SUBMODULES = ("core", "io", "matching", "models", "parallel",
+                    "sfm", "utils", "visualization")
+
+
 def __getattr__(name):
-    # lazy: Pipeline pulls the full matching/sfm stack; keep base import light
+    # lazy: Pipeline pulls the full matching/sfm stack; keep base import
+    # light. Submodules resolve lazily too, so the reference's
+    # `from icepy4d import sfm` style works here unchanged.
     if name == "Pipeline":
         from icepy4d_tpu.pipeline import Pipeline
 
         return Pipeline
+    if name in _LAZY_SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f"icepy4d_tpu.{name}")
     raise AttributeError(name)

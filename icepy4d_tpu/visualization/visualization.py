@@ -243,3 +243,174 @@ def plot_camera_time_series(csv_path, camera_names=None, path=None):
         a.grid(alpha=0.3)
     fig.autofmt_xdate()
     return _save(fig, path)
+
+
+def imshow_cv2(img, win_name="image", convert_RGB2BGR=True,
+               resize_to=None):
+    """Display an image in a cv2 window (ref :23-44). Headless-safe:
+    returns the (possibly resized/converted) array and only opens a
+    window when a display is available."""
+    import os
+
+    import cv2
+
+    out = np.asarray(img)
+    if resize_to is not None:
+        scale = resize_to / max(out.shape[:2])
+        out = cv2.resize(out, None, fx=scale, fy=scale)
+    if convert_RGB2BGR and out.ndim == 3:
+        out = cv2.cvtColor(out, cv2.COLOR_RGB2BGR)
+    if os.environ.get("DISPLAY"):
+        cv2.imshow(win_name, out)
+        cv2.waitKey(1)
+    return out
+
+
+def get_colors(inp, colormap="viridis", vmin=None, vmax=None):
+    """Map scalars to RGBA via a matplotlib colormap (ref :561-566)."""
+    inp = np.asarray(inp, float)
+    vmin = np.min(inp) if vmin is None else vmin
+    vmax = np.max(inp) if vmax is None else vmax
+    norm = plt.Normalize(vmin, vmax)
+    return plt.get_cmap(colormap)(norm(inp))
+
+
+def draw_matches(axes, kpts0, kpts1, color=None, lw=1.5, ps=4):
+    """Line art between already-plotted image axes (ref :118-145)."""
+    fig = axes[0].figure
+    kpts0 = np.asarray(kpts0)
+    kpts1 = np.asarray(kpts1)
+    n = len(kpts0)
+    if color is None:
+        color = cm.jet(np.linspace(0, 1, max(n, 1)))
+    fig.canvas.draw()
+    tf = fig.transFigure.inverted()
+    from matplotlib.lines import Line2D
+
+    for i in range(n):
+        p0 = tf.transform(axes[0].transData.transform(kpts0[i]))
+        p1 = tf.transform(axes[1].transData.transform(kpts1[i]))
+        fig.lines.append(Line2D((p0[0], p1[0]), (p0[1], p1[1]),
+                                transform=fig.transFigure,
+                                c=color[i % len(color)], lw=lw))
+    axes[0].scatter(kpts0[:, 0], kpts0[:, 1], c=color, s=ps)
+    axes[1].scatter(kpts1[:, 0], kpts1[:, 1], c=color, s=ps)
+    return axes
+
+
+def plot_matches_epoch(epoch, out_dir, cams=None, show_fig=False):
+    """Epoch-level match plot (ref :85-115): draw the two cameras'
+    matched features and save <epoch.date_str>_matches.png."""
+    cams = cams or sorted(epoch.images.keys())[:2]
+    f0 = epoch.features[cams[0]]
+    f1 = epoch.features[cams[1]]
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / f"{epoch.date_str}_matches.png"
+    plot_matches_cv2(epoch.images[cams[0]].value,
+                     epoch.images[cams[1]].value,
+                     f0.kpts_to_numpy(), f1.kpts_to_numpy(),
+                     path=path)
+    return path
+
+
+def plot_points_cv2(image, points, path=None, radius=4,
+                    color=(0, 0, 255), with_ids=False):
+    """Fast cv2 point rendering (ref :338-386). Returns BGR image."""
+    import cv2
+
+    im = np.asarray(image)
+    if im.dtype != np.uint8:
+        im = np.clip(im * 255 if im.max() <= 1 else im,
+                     0, 255).astype(np.uint8)
+    if im.ndim == 2:
+        im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
+    else:
+        im = im.copy()
+    for i, (x, y) in enumerate(np.asarray(points, int)):
+        cv2.circle(im, (int(x), int(y)), radius, color, -1)
+        if with_ids:
+            cv2.putText(im, str(i), (int(x) + 3, int(y) - 3),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, color, 1)
+    if path is not None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(path), im)
+    return im
+
+
+def plot_feature(image, feature_xy, title=None, path=None, zoom=None,
+                 ps=50, c="r"):
+    """Single-feature plot, optionally zoomed around it (ref :411-434)."""
+    fig, ax = plt.subplots()
+    ax.imshow(image, cmap="gray" if np.ndim(image) == 2 else None)
+    x, y = float(feature_xy[0]), float(feature_xy[1])
+    ax.scatter(x, y, s=ps, c=c, marker="+")
+    if zoom is not None:
+        ax.set_xlim(x - zoom, x + zoom)
+        ax.set_ylim(y + zoom, y - zoom)
+    if title:
+        ax.set_title(title)
+    ax.set_axis_off()
+    return _save(fig, path)
+
+
+def pose2pyramid(camera_pose, focal_len_scaled=5, aspect_ratio=0.3):
+    """Camera-pose 4x4 -> frustum vertex array (ref :695-745)."""
+    T = np.asarray(camera_pose)
+    w = focal_len_scaled * aspect_ratio
+    verts_cam = np.array([
+        [0, 0, 0, 1],
+        [w, -w, focal_len_scaled, 1],
+        [w, w, focal_len_scaled, 1],
+        [-w, w, focal_len_scaled, 1],
+        [-w, -w, focal_len_scaled, 1],
+    ])
+    return (verts_cam @ T.T)[:, :3]
+
+
+def display_pc_inliers(points, ind, path=None, ps=1):
+    """Inlier/outlier split view of a cloud (ref :631-650): inliers
+    gray, outliers red."""
+    points = np.asarray(points)
+    mask = np.zeros(len(points), bool)
+    mask[np.asarray(ind, int)] = True
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(*points[mask].T, s=ps, c="0.6", label="inliers")
+    if (~mask).any():
+        ax.scatter(*points[~mask].T, s=ps * 3, c="r", label="outliers")
+    ax.legend()
+    return _save(fig, path)
+
+
+def make_focal_length_variation_plot(focals, epoch_labels=None,
+                                     path=None):
+    """Per-epoch focal length series (ref :784-801). `focals` is a
+    (T,) array or {cam: (T,) array} dict."""
+    if not isinstance(focals, dict):
+        focals = {"camera": np.asarray(focals)}
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for cam, f in focals.items():
+        ax.plot(np.arange(len(f)) if epoch_labels is None
+                else epoch_labels, f, marker="o", label=cam)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("focal length [px]")
+    ax.grid(alpha=0.3)
+    ax.legend()
+    return _save(fig, path)
+
+
+def make_camera_angles_plot(angles, path=None):
+    """Per-epoch camera angle series (ref :803-953). `angles` is
+    {cam: {"omega"|"phi"|"kappa": (T,)}}."""
+    fig, axes = plt.subplots(3, 1, figsize=(10, 8), sharex=True)
+    for cam, d in angles.items():
+        for ax, name in zip(axes, ("omega", "phi", "kappa")):
+            if name in d:
+                ax.plot(np.asarray(d[name]), marker=".",
+                        label=f"{cam}")
+                ax.set_ylabel(f"{name} [deg]")
+                ax.grid(alpha=0.3)
+    axes[0].legend(fontsize=8)
+    axes[-1].set_xlabel("epoch")
+    return _save(fig, path)

@@ -1,0 +1,99 @@
+"""Docs build + tutorial integrity + example-script smoke tests.
+
+The three tutorials mirror the reference's notebooks
+(ref notebooks/matching.ipynb, single_epoch_stereo_reconstruction.ipynb,
+mutlitemporal_workflow.ipynb); their runnable counterparts live in
+examples/ and are executed here on the real reference assets.
+"""
+
+import ast
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+DOCS = ROOT / "docs"
+
+TUTORIALS = [
+    DOCS / "tutorials" / "matching.md",
+    DOCS / "tutorials" / "single_epoch_stereo.md",
+    DOCS / "tutorials" / "multitemporal_4d.md",
+]
+
+
+def test_docs_pages_exist():
+    for p in [DOCS / "index.md", DOCS / "installation.md",
+              DOCS / "getting_started.md", DOCS / "tpu.md",
+              *TUTORIALS]:
+        assert p.exists(), p
+        assert len(p.read_text()) > 500
+
+
+def _code_blocks(md_path):
+    text = md_path.read_text()
+    return re.findall(r"```python\n(.*?)```", text, re.S)
+
+
+@pytest.mark.parametrize("md", TUTORIALS,
+                         ids=[t.stem for t in TUTORIALS])
+def test_tutorial_code_blocks_parse(md):
+    blocks = _code_blocks(md)
+    assert blocks, f"{md} has no python blocks"
+    for i, block in enumerate(blocks):
+        ast.parse(block)   # SyntaxError -> test failure
+
+
+def test_tutorial_imports_resolve():
+    """Every `from icepy4d_tpu... import X` in the tutorials must
+    resolve — docs cannot reference APIs that do not exist."""
+    import importlib
+
+    pat = re.compile(
+        r"^from (icepy4d_tpu[\w.]*) import (\([^)]*\)|[^\n(]+)$",
+        re.M)
+    for md in TUTORIALS + [DOCS / "getting_started.md"]:
+        for block in _code_blocks(md):
+            for mod_name, names in pat.findall(block):
+                mod = importlib.import_module(mod_name)
+                for n in names.strip("()").replace("\n", " ").split(","):
+                    n = n.strip()
+                    if n:
+                        assert hasattr(mod, n), \
+                            f"{md.name}: {mod_name}.{n} missing"
+
+
+def test_docs_build(tmp_path):
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "build_docs.py"),
+         "--out", str(tmp_path / "site")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    site = tmp_path / "site"
+    assert (site / "index.html").exists()
+    assert (site / "tutorials" / "multitemporal_4d.html").exists()
+    html = (site / "index.html").read_text()
+    assert "icepy4d_tpu" in html and "<pre>" in html
+
+
+@pytest.mark.parametrize("script,args", [
+    ("matching_benchmark.py", ["--quality", "low", "--grid", "1", "2",
+                               "--max-keypoints", "1024"]),
+    ("single_epoch_stereo.py", ["--matcher", "nn"]),
+    ("multitemporal_4d.py", ["--matcher", "nn", "--quality", "low"]),
+])
+def test_example_scripts_run(script, args, tmp_path, assets_dir):
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "examples" / script),
+         "--assets", str(assets_dir), "--out", str(out), *args],
+        capture_output=True, text=True, timeout=900,
+        cwd=tmp_path,
+        env={**__import__("os").environ,
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+             "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": str(ROOT)},
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
