@@ -14,6 +14,8 @@ OpenCV vectors are zero-padded.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -106,6 +108,7 @@ def world_to_camera(points: Array, extrinsics: Array) -> Array:
     return points @ R.T + t
 
 
+@jax.jit
 def project_points(
     points: Array,
     K: Array,
@@ -129,6 +132,7 @@ def project_points(
     return jnp.stack([u, v], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("iters",))
 def undistort_points(
     points: Array, K: Array, dist: Array, iters: int = 20
 ) -> Array:

@@ -9,6 +9,8 @@ reference's absolute-orientation solver (thirdparty/transformations.py:908).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -225,6 +227,7 @@ def helmert_residuals(params: Array, v0: Array, v1: Array,
     return r.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("iters",))
 def refine_similarity_gauss_newton(
     T0: Array, v0: Array, v1: Array, iters: int = 10,
     weights: Array | None = None,

@@ -13,6 +13,8 @@ optional for the normal-equation solves on CPU.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +33,7 @@ def _dlt_system_two_view(u0: Array, u1: Array, P0: Array, P1: Array) -> Array:
     )
 
 
+@jax.jit
 def linear_eigen_triangulation(
     u0: Array, u1: Array, P0: Array, P1: Array
 ) -> Array:
@@ -71,6 +74,7 @@ def linear_ls_triangulation(
     return jax.vmap(solve_one)(u0, u1)
 
 
+@partial(jax.jit, static_argnames=("iters", "tolerance"))
 def iterative_ls_triangulation(
     u0: Array,
     u1: Array,
@@ -132,6 +136,7 @@ def iterative_ls_triangulation(
     return jax.vmap(solve_one)(u0, u1)
 
 
+@jax.jit
 def triangulate_nview(us: Array, Ps: Array, mask: Array | None = None) -> Array:
     """N-view DLT: us (V, N, 2) observations, Ps (V, 3, 4), mask (V, N).
 
