@@ -60,12 +60,14 @@ def export_solution_to_colmap(
             xyz = points.to_numpy()
             col = points.colors_to_numpy(as_uint8=True)
             ids = points.track_ids_to_numpy()
+            # tracks stay EMPTY: the images.txt records carry no 2-D
+            # observations, and COLMAP validates track references
+            # against them (a non-empty track into an empty image
+            # crashes the loader)
             for i in range(len(xyz)):
-                track = " ".join(f"{ci} {i}" for ci in
-                                 range(1, len(cams) + 1))
                 f.write(f"{int(ids[i])} {xyz[i][0]} {xyz[i][1]} "
                         f"{xyz[i][2]} {col[i][0]} {col[i][1]} "
-                        f"{col[i][2]} 0.0 {track}\n")
+                        f"{col[i][2]} 0.0\n")
     logger.info("COLMAP model written to %s", export_dir)
     return export_dir
 
@@ -103,11 +105,13 @@ def export_solution_to_colmap_binary(
         xyz = points.to_numpy()
         col = points.colors_to_numpy(as_uint8=True)
         ids = points.track_ids_to_numpy()
-        im_ids = np.arange(1, len(cams) + 1, dtype=np.int32)
+        # empty tracks: the image records carry no 2-D observations and
+        # COLMAP dereferences track elements against them
+        empty = np.zeros((0,), np.int32)
         for i in range(len(xyz)):
             cpts[int(ids[i])] = ColmapPoint3D(
                 int(ids[i]), xyz[i].astype(np.float64), col[i], 0.0,
-                im_ids, np.full(len(cams), i, np.int32))
+                empty, empty)
     write_model(ccams, cimgs, cpts, export_dir, ext=".bin")
     logger.info("COLMAP binary model written to %s", export_dir)
     return export_dir

@@ -850,6 +850,16 @@ class LoFTRMatcher(ImageMatcherBase):
     def descriptor_dim(self) -> int:
         return 128
 
+    def _extract(self, tiles, max_keypoints):
+        raise NotImplementedError(
+            "LoFTRMatcher is detector-free: temporal tracking seeds "
+            "(track_features) need a detector-based matcher "
+            "(LightGlue/SuperGlue/NN/SemiDense). Configure "
+            "matching.matcher accordingly when proc.do_tracking is on.")
+
+    def _extract_host(self, *a, **k):
+        self._extract(None, None)
+
     def _out_to_host(self, out, origin0=None, origin1=None):
         valid = np.asarray(out["valid"])
         mk0 = np.asarray(out["keypoints0"], np.float32)[valid]

@@ -216,9 +216,12 @@ def lft_apply(layers: dict, feat0: Array, feat1: Array,
         f0, f1 = carry
         f0 = encoder_layer_apply(lp["self"], f0, f0, mask0, nhead)
         f1 = encoder_layer_apply(lp["self"], f1, f1, mask1, nhead)
-        n0 = encoder_layer_apply(lp["cross"], f0, f1, mask1, nhead)
-        n1 = encoder_layer_apply(lp["cross"], f1, f0, mask0, nhead)
-        return (n0, n1), None
+        # cross updates are SEQUENTIAL like the official implementation:
+        # feat1 attends to the ALREADY-UPDATED feat0 (checkpoints were
+        # trained with this ordering)
+        f0 = encoder_layer_apply(lp["cross"], f0, f1, mask1, nhead)
+        f1 = encoder_layer_apply(lp["cross"], f1, f0, mask0, nhead)
+        return (f0, f1), None
 
     if n_pairs == 1:
         (feat0, feat1), _ = body((feat0, feat1),
@@ -563,14 +566,22 @@ class LoFTR:
     @partial(jax.jit, static_argnums=0)
     def match_batch(self, params, imgs0: Array, imgs1: Array,
                     pair_valid: Array) -> dict:
-        """Vmapped forward over a (B, H, W) tile-pair batch (full tiles:
-        every coarse cell valid); pair_valid masks bucket padding."""
-        b, h, w = imgs0.shape
-        full = jnp.ones(((h // 8) * (w // 8),), bool)
+        """Vmapped forward over a (B, H, W) tile-pair batch; tiles pad
+        to the 8-px cell grid internally (pad cells masked out);
+        pair_valid masks bucket padding."""
+        b, h0, w0 = imgs0.shape
+        ph, pw = (-h0) % 8, (-w0) % 8
+        if ph or pw:
+            imgs0 = jnp.pad(imgs0, ((0, 0), (0, ph), (0, pw)))
+            imgs1 = jnp.pad(imgs1, ((0, 0), (0, ph), (0, pw)))
+        hc, wc = (h0 + ph) // 8, (w0 + pw) // 8
+        r = jnp.arange(hc * wc) // wc
+        c = jnp.arange(hc * wc) % wc
+        cell = (r * 8 < h0) & (c * 8 < w0)
 
         with jax.default_matmul_precision(self.precision):
             out = jax.vmap(
-                lambda a, c: self._forward_pair(params, a, c, full, full)
+                lambda a, d: self._forward_pair(params, a, d, cell, cell)
             )(imgs0, imgs1)
         out["valid"] = out["valid"] & pair_valid[:, None]
         return out

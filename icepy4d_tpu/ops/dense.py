@@ -64,11 +64,21 @@ def _box_filter(x: Array, w: int) -> Array:
     return sum(xp[:, k:k + wd] for k in range(w)) / w
 
 
-def _zncc_cost(I0: Array, I1w: Array, w: int, eps: float = 1e-6) -> Array:
-    """1 - ZNCC over (w x w) windows; in [0, 2], lower is better."""
+def _ref_stats(I0: Array, w: int) -> tuple[Array, Array]:
+    """Loop-invariant reference-image window stats (mean, variance)."""
     m0 = _box_filter(I0, w)
-    m1 = _box_filter(I1w, w)
     v0 = _box_filter(I0 * I0, w) - m0 * m0
+    return m0, v0
+
+
+def _zncc_cost(I0: Array, I1w: Array, w: int, eps: float = 1e-6,
+               ref_stats: tuple | None = None) -> Array:
+    """1 - ZNCC over (w x w) windows; in [0, 2], lower is better.
+
+    ref_stats: precomputed _ref_stats(I0, w) — the sweep hoists them out
+    of the hypothesis loop (2 of the 5 box filters are I0-only)."""
+    m0, v0 = ref_stats if ref_stats is not None else _ref_stats(I0, w)
+    m1 = _box_filter(I1w, w)
     v1 = _box_filter(I1w * I1w, w) - m1 * m1
     cov = _box_filter(I0 * I1w, w) - m0 * m1
     zncc = cov / jnp.sqrt(jnp.maximum(v0 * v1, eps))
@@ -172,6 +182,7 @@ def plane_sweep(
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1).astype(jnp.float32)
 
     big = jnp.float32(2.0)  # max possible cost
+    stats0 = _ref_stats(I0, window)
 
     def cost_at(k):
         H = plane_homography(K0, K1, R, t, 1.0 / inv_d[k])
@@ -181,7 +192,7 @@ def plane_sweep(
         inb = ((xy[..., 0] >= 0) & (xy[..., 0] <= w - 1)
                & (xy[..., 1] >= 0) & (xy[..., 1] <= h - 1))
         I1w = bilinear_sample(I1, xy.reshape(-1, 2)).reshape(h, w)
-        c = _zncc_cost(I0, I1w, window)
+        c = _zncc_cost(I0, I1w, window, ref_stats=stats0)
         return jnp.where(inb, c, big), inb
 
     best, best_k, c_m, c_p, second, best_inb = _streaming_sweep(
@@ -262,8 +273,12 @@ def _disparity_sweep(
     h, w = I0r.shape
     big = jnp.float32(2.0)
     I1p = jnp.pad(I1r, ((0, 0), (pad, pad)))
-    disps = jnp.linspace(disp_min, disp_max, n_disp)
+    # d = min + k*step (not linspace: its different rounding flips
+    # boundary in-bounds tests vs the reconstruction formula below)
+    step_d = (disp_max - disp_min) / max(n_disp - 1, 1)
+    disps = disp_min + jnp.arange(n_disp, dtype=jnp.float32) * step_d
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    stats0 = _ref_stats(I0r, window)
 
     def cost_at(k):
         d = disps[k]
@@ -275,7 +290,7 @@ def _disparity_sweep(
         I1s = a * frac + b * (1.0 - frac)
         inb = (xs - d >= 0) & (xs - d <= w - 1)
         inb = jnp.broadcast_to(inb, (h, w))
-        c = _zncc_cost(I0r, I1s, window)
+        c = _zncc_cost(I0r, I1s, window, ref_stats=stats0)
         return jnp.where(inb, c, big), inb
 
     best, best_k, c_m, c_p, second, best_inb = _streaming_sweep(

@@ -150,6 +150,38 @@ def skew(v: Array) -> Array:
     ])
 
 
+def parallax_lines(H: Array, x0: Array, x1: Array) -> Array:
+    """Per-correspondence epipolar-bundle lines (H x0) x x1, normalized
+    so |l . e| is a point-line distance. Every off-plane correspondence
+    lies on a line through the epipole e'."""
+    x0h = jnp.concatenate([x0, jnp.ones((*x0.shape[:-1], 1), x0.dtype)], -1)
+    x1h = jnp.concatenate([x1, jnp.ones((*x1.shape[:-1], 1), x1.dtype)], -1)
+    lines = jnp.cross(x0h @ H.T, x1h)
+    return lines / jnp.maximum(
+        jnp.linalg.norm(lines[..., :2], axis=-1, keepdims=True), 1e-12)
+
+
+def parallax_sq(H: Array, x0: Array, x1: Array) -> Array:
+    """Squared plane-parallax |H x0 - x1|^2 in pixels per point."""
+    x0h = jnp.concatenate([x0, jnp.ones((*x0.shape[:-1], 1), x0.dtype)], -1)
+    Hx0 = x0h @ H.T
+    Hx0_px = Hx0[..., :2] / jnp.where(
+        jnp.abs(Hx0[..., 2:3]) < 1e-12, 1e-12, Hx0[..., 2:3])
+    return jnp.sum((Hx0_px - x1) ** 2, -1)
+
+
+def epipole_from_lines(H: Array, x0: Array, x1: Array,
+                       weights: Array) -> Array:
+    """Weighted least-squares intersection of the parallax line bundle
+    (smallest eigenvector of sum w l l^T). With a 2-point one-hot weight
+    vector this is the exact 2-line intersection — the minimal solver
+    for plane-and-parallax epipole RANSAC."""
+    lines = parallax_lines(H, x0, x1)
+    M = jnp.einsum("ni,nj,n->ij", lines, lines, weights)
+    _, V = jnp.linalg.eigh(M)
+    return V[:, 0]
+
+
 def fundamental_from_homography(
     H: Array, x0: Array, x1: Array, w_offplane: Array
 ) -> Array:
@@ -169,11 +201,14 @@ def fundamental_from_homography(
         jnp.linalg.norm(lines[..., :2], axis=-1, keepdims=True), 1e-12)
     # A line's direction is only as reliable as the point's parallax:
     # near-plane points (|Hx0 - x1| ~ noise) give noise-driven lines.
-    # Weight by squared parallax so they fade instead of dragging the LS.
+    # Weight by squared parallax so they fade — SATURATED at ~20 px so a
+    # single gross mismatch (hundreds of px of fake "parallax") cannot
+    # dominate the bundle before the IRLS reweighting can demote it.
     Hx0_px = Hx0[..., :2] / jnp.where(
         jnp.abs(Hx0[..., 2:3]) < 1e-12, 1e-12, Hx0[..., 2:3])
     parallax2 = jnp.sum((Hx0_px - x1) ** 2, -1)
-    w_offplane = w_offplane * parallax2
+    sat = 20.0 ** 2
+    w_offplane = w_offplane * parallax2 / (1.0 + parallax2 / sat)
 
     def solve(w):
         M = jnp.einsum("ni,nj,n->ij", lines, lines, w)

@@ -190,9 +190,44 @@ def ransac_fundamental_degensac(
         threshold=threshold * 3.0, n_hypotheses=h_hypotheses)
     degenerate = jnp.sum(inlH) > degeneracy_frac * jnp.maximum(nF, 1)
 
-    # Plane-and-parallax recovery from off-plane support.
-    w_off = (mask & ~inlH).astype(jnp.float32)
-    Fpp = epipolar.fundamental_from_homography(H, x0, x1, w_off)
+    # Plane-and-parallax recovery. The off-plane set (mask & ~inlH)
+    # also contains the gross putative-match OUTLIERS, so the epipole is
+    # found by RANSAC over 2-line minimal samples (each off-plane
+    # correspondence gives a line (H x0) x x1 through e'; two lines
+    # intersect in a candidate epipole; score F = [e']_x H by Sampson on
+    # the off-plane set) — the same resampling robustness pydegensac
+    # gets from re-running its inner loop on non-degenerate samples.
+    # Only points with REAL parallax constrain the epipole: noisy
+    # near-plane points (small |Hx0 - x1|) fit any [e']_x H and would
+    # flood both the minimal samples and the consensus scores. Scores
+    # are parallax-WEIGHTED (capped, so a gross mismatch that happens to
+    # fit a hypothesis cannot dominate): genuinely off-plane points
+    # carry the decision.
+    par2 = epipolar.parallax_sq(H, x0, x1)
+    off_b = mask & ~inlH & (par2 > (3.0 * threshold) ** 2)
+    w_par = jnp.where(off_b, jnp.clip(jnp.sqrt(par2), 0.0, 50.0), 0.0)
+    kE = jax.random.fold_in(kH, 1)
+
+    def pp_solver(w):
+        e1 = epipolar.epipole_from_lines(H, x0, x1, w)
+        Fc = epipolar.skew(e1) @ H
+        return Fc / jnp.maximum(jnp.abs(Fc).max(), 1e-12)
+
+    idxE = sample_minimal_sets(kE, off_b, h_hypotheses, 2)
+    wE = jax.vmap(_one_hot_weights, in_axes=(0, None))(
+        idxE, mask.shape[0])
+    Fs = jax.vmap(pp_solver)(wE)
+    resE = jax.vmap(
+        lambda Fc: epipolar.sampson_distance(Fc, x0, x1))(Fs)
+    scoresE = jnp.sum(
+        jnp.where(resE < threshold**2, w_par[None, :], 0.0), axis=1)
+    bestE = jnp.argmax(scoresE)
+    Fpp = Fs[bestE]
+    inl_pp_off = (resE[bestE] < threshold**2) & off_b
+    # IRLS polish of the epipole bundle on the RANSAC consensus (clean
+    # by construction; saturated parallax weighting inside)
+    Fpp2 = epipolar.fundamental_from_homography(
+        H, x0, x1, inl_pp_off.astype(jnp.float32))
 
     def refit(_, carry):
         F, inl = carry
@@ -202,30 +237,33 @@ def ransac_fundamental_degensac(
 
     d_pp = epipolar.sampson_distance(Fpp, x0, x1)
     inl_pp = (d_pp < threshold**2) & mask
+    d_pp2 = epipolar.sampson_distance(Fpp2, x0, x1)
+    inl_pp2 = (d_pp2 < threshold**2) & mask
     # Refit can drag the recovered model back onto the plane (its inlier
     # set is plane-dominated), so keep BOTH the raw plane-and-parallax
-    # model and its refit as candidates.
+    # models and the refit as candidates.
     Fpp_r, inl_pp_r = jax.lax.fori_loop(
-        0, refit_iters, refit, (Fpp, inl_pp))
+        0, refit_iters, refit, (Fpp2, inl_pp2))
 
-    # Model selection on the OFF-plane set only: a degenerate F overfits
-    # the plane, so its TOTAL count is inflated — what discriminates the
-    # true epipolar geometry is how many off-plane correspondences each
-    # model explains.
-    off = mask & ~inlH
-
+    # Model selection on the PARALLAX-bearing off-plane set only
+    # (weighted like the epipole search): a degenerate F overfits the
+    # plane, so its TOTAL count is inflated — what discriminates the
+    # true epipolar geometry is how much genuine off-plane parallax
+    # each model explains.
     def n_off(Fc):
-        return jnp.sum(
-            (epipolar.sampson_distance(Fc, x0, x1) < threshold**2) & off)
+        return jnp.sum(jnp.where(
+            epipolar.sampson_distance(Fc, x0, x1) < threshold**2,
+            w_par, 0.0))
 
-    pp_valid = jnp.sum(w_off) >= 2
-    cand_F = jnp.stack([F, Fpp, Fpp_r])
-    cand_inl = jnp.stack([inlF, inl_pp, inl_pp_r])
-    scores = jnp.stack([n_off(F), n_off(Fpp), n_off(Fpp_r)])
+    pp_valid = jnp.sum(off_b) >= 2
+    cand_F = jnp.stack([F, Fpp, Fpp2, Fpp_r])
+    cand_inl = jnp.stack([inlF, inl_pp, inl_pp2, inl_pp_r])
+    scores = jnp.stack([n_off(F), n_off(Fpp), n_off(Fpp2),
+                        n_off(Fpp_r)])
     # Plane-and-parallax candidates only count when degenerate & valid;
     # ties go to the plain model (argmax picks the first maximum).
-    allow = jnp.stack(
-        [jnp.bool_(True), degenerate & pp_valid, degenerate & pp_valid])
+    ok_pp = degenerate & pp_valid
+    allow = jnp.stack([jnp.bool_(True), ok_pp, ok_pp, ok_pp])
     best = jnp.argmax(jnp.where(allow, scores, -1))
     return cand_F[best], cand_inl[best], degenerate
 

@@ -276,13 +276,21 @@ def get_colors(inp, colormap="viridis", vmin=None, vmax=None):
 
 
 def draw_matches(axes, kpts0, kpts1, color=None, lw=1.5, ps=4):
-    """Line art between already-plotted image axes (ref :118-145)."""
+    """Line art between already-plotted image axes (ref :118-145).
+    `color` may be one color spec (applied to all matches) or a
+    per-match sequence."""
+    from matplotlib.colors import to_rgba
+
     fig = axes[0].figure
     kpts0 = np.asarray(kpts0)
     kpts1 = np.asarray(kpts1)
     n = len(kpts0)
     if color is None:
         color = cm.jet(np.linspace(0, 1, max(n, 1)))
+    elif isinstance(color, str) or (
+            np.ndim(color) == 1 and len(color) in (3, 4)
+            and not isinstance(color[0], (str, tuple, list, np.ndarray))):
+        color = [to_rgba(color)] * max(n, 1)
     fig.canvas.draw()
     tf = fig.transFigure.inverted()
     from matplotlib.lines import Line2D

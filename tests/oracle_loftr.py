@@ -183,14 +183,15 @@ class LocalFeatureTransformer(nn.Module):
             [LoFTREncoderLayer(d_model, nhead) for _ in self.layer_names])
 
     def forward(self, feat0, feat1, mask0=None, mask1=None):
+        # official ordering: cross updates are sequential — feat1
+        # attends to the already-updated feat0
         for layer, name in zip(self.layers, self.layer_names):
             if name == "self":
                 feat0 = layer(feat0, feat0, mask0, mask0)
                 feat1 = layer(feat1, feat1, mask1, mask1)
             else:
-                f0 = layer(feat0, feat1, mask0, mask1)
-                f1 = layer(feat1, feat0, mask1, mask0)
-                feat0, feat1 = f0, f1
+                feat0 = layer(feat0, feat1, mask0, mask1)
+                feat1 = layer(feat1, feat0, mask1, mask0)
         return feat0, feat1
 
 

@@ -163,3 +163,33 @@ def test_geometric_verification_routing(method):
     assert F is not None and F.shape == (3, 3)
     assert inl.shape == (len(x0),)
     assert inl.mean() > 0.8
+
+
+@pytest.mark.parametrize("seed", [1, 4])
+def test_degensac_recovers_with_gross_outliers(seed):
+    """The review scenario: dominant plane + gross putative-match
+    OUTLIERS. The epipole bundle must come from F-consistent off-plane
+    support (saturated parallax weights), not from the mismatches."""
+    x0, x1, F_true, off = make_plane_scene(seed, n_plane=120, n_off=10)
+    rng = np.random.default_rng(100 + seed)
+    n_out = 25
+    xo0 = rng.uniform(0, 640, (n_out, 2)).astype(np.float32)
+    xo1 = rng.uniform(0, 480, (n_out, 2)).astype(np.float32)
+    x0a = np.r_[x0, xo0]
+    x1a = np.r_[x1, xo1]
+    mask = np.ones(len(x0a), bool)
+
+    key = jax.random.PRNGKey(seed)
+    F, inl, degen = ransac_fundamental_degensac(
+        key, x0a, x1a, mask, threshold=1.5,
+        n_hypotheses=1024, h_hypotheses=512)
+    F = np.asarray(F)
+    assert bool(degen)
+
+    # recovered model explains the true off-plane points...
+    d_off = _sampson_np(F, x0[off], x1[off])
+    assert np.median(d_off) < 1.5 ** 2 * 4
+    # ...and rejects the gross outliers
+    d_out = _sampson_np(F, xo0, xo1)
+    inl_a = np.asarray(inl)
+    assert inl_a[len(x0):].sum() <= 2

@@ -290,7 +290,7 @@ def test_loftr_matcher_full_frame_recovers_shift(checker_pair):
     assert ok
     # identical content shifted 8 px = exactly one coarse cell: even
     # random-weight features match (cells carry identical activations)
-    assert len(m.mkpts0) > 50
+    assert len(m.mkpts0) > 25
     assert m.descriptors0.shape[0] == 128
     dx = np.median(m.mkpts0[:, 0] - m.mkpts1[:, 0])
     dy = np.median(m.mkpts0[:, 1] - m.mkpts1[:, 1])

@@ -185,3 +185,20 @@ def test_pipeline_run_distributed_single_process(cfg):
     pipe = Pipeline(dcfg)
     epoches = pipe.run_distributed()
     assert len(epoches) == 2
+
+
+def test_pipeline_warmup_compiles_without_side_effects(cfg):
+    import copy
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    wcfg = DotDict.wrap(copy.deepcopy(dict(cfg)))
+    wcfg.proc.epoch_to_process = [0]
+    wcfg.proc.save_checkpoints = False
+    wcfg.proc.load_existing_results = False
+    pipe = Pipeline(wcfg)
+    pipe.warmup()
+    assert len(pipe.matcher.mkpts0) == 0  # results reset after warmup
+    epoches = pipe.run()
+    assert len(epoches) == 1
