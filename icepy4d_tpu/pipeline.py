@@ -60,14 +60,15 @@ class Pipeline:
         self.paths = cfg.paths
         self.results_dir = Path(cfg.paths.results_dir)
         self.results_dir.mkdir(parents=True, exist_ok=True)
-        self.epoch_map = EpochDataMap(
-            cfg.paths.image_dir,
+        self._epoch_map_kwargs = dict(
             master_camera=cfg.paths.get("master_camera"),
             time_tolerance_sec=int(cfg.get("proc", {}).get(
                 "time_tolerance_sec", 1200)),
             use_mtime_fallback=bool(cfg.get("proc", {}).get(
                 "use_mtime_fallback", False)),
         )
+        self.epoch_map = EpochDataMap(
+            cfg.paths.image_dir, **self._epoch_map_kwargs)
         self.cams = self.epoch_map.cameras
         self.epoches = Epoches()
         m_cfg = cfg.get("matching", DotDict())
@@ -763,6 +764,52 @@ class Pipeline:
             self._prefetched.clear()
             self._active_prefetch = None
         return self.epoches
+
+    def watch(
+        self,
+        poll_interval: float = 60.0,
+        max_polls: int | None = None,
+        stop_after: int | None = None,
+    ) -> Epoches:
+        """Continuous-monitoring mode: poll the image directory for NEW
+        epochs and process them incrementally — this is the deployment
+        shape of glacier monitoring (cameras deliver a stereo pair
+        every N minutes; the reference only batch-processes afterwards).
+
+        Temporal tracking stays continuous across arrivals, compiled
+        programs are reused (a new epoch costs only its device steps),
+        and checkpoints land exactly like run()'s, so a crash resumes
+        cleanly with proc.load_existing_results.
+
+        max_polls / stop_after bound the loop (None = run forever).
+        Returns the accumulated Epoches when a bound is hit.
+        """
+        import time as _time
+
+        proc = self.cfg.get("proc", DotDict())
+        prev = None
+        next_idx = 0
+        n_done = 0
+        polls = 0
+        while True:
+            n_before = len(self.epoch_map)
+            for ep in range(next_idx, n_before):
+                logger.info("=== [watch] new epoch %d ===", ep)
+                epoch = self.process_epoch(ep, prev)
+                self.epoches.add_epoch(epoch, ep)
+                prev = epoch
+                n_done += 1
+                if stop_after is not None and n_done >= stop_after:
+                    return self.epoches
+            next_idx = n_before
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                return self.epoches
+            _time.sleep(poll_interval)
+            # rescan: EpochDataMap appends newly-arrived epochs (later
+            # timestamps sort after the processed ones)
+            self.epoch_map = EpochDataMap(
+                self.cfg.paths.image_dir, **self._epoch_map_kwargs)
 
     def run_distributed(self) -> Epoches:
         """Multi-slice season run (SURVEY §2.12 DCN item).

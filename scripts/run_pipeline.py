@@ -18,6 +18,9 @@ def main() -> None:
     ap.add_argument("config")
     ap.add_argument("--batched", action="store_true",
                     help="mesh-batched epochs (data-parallel over chips)")
+    ap.add_argument("--watch", action="store_true",
+                    help="continuous monitoring: poll for new epochs")
+    ap.add_argument("--poll-interval", type=float, default=60.0)
     ap.add_argument("--distributed", action="store_true",
                     help="multi-process epoch distribution "
                          "(jax.distributed; one process per slice)")
@@ -40,6 +43,9 @@ def main() -> None:
                          process_id=args.process_id)
         pipe = Pipeline(args.config)
         epoches = pipe.run_distributed()
+    elif args.watch:
+        pipe = Pipeline(args.config)
+        epoches = pipe.watch(poll_interval=args.poll_interval)
     elif args.batched:
         pipe = Pipeline(args.config)
         epoches = pipe.run_batched()
