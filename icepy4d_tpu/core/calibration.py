@@ -39,21 +39,33 @@ def read_xml_calibration(path: str | Path) -> tuple[int, int, np.ndarray, np.nda
         el = root.find(tag)
         return float(el.text) if el is not None and el.text else default
 
-    w = int(grab("width"))
-    h = int(grab("height"))
     if root.find("f") is not None:
         # Agisoft convention: cx/cy are offsets from the image centre.
+        w = int(grab("width"))
+        h = int(grab("height"))
         f = grab("f")
         cx = w / 2.0 + grab("cx")
         cy = h / 2.0 + grab("cy")
         K = np.array([[f, grab("b1"), cx], [0, f, cy], [0, 0, 1]], np.float32)
+        dist = np.array(
+            [grab("k1"), grab("k2"), grab("p1"), grab("p2"), grab("k3")],
+            np.float32,
+        )
     else:
+        # OpenCV FileStorage layout (ref core/calibration.py:146-156):
+        # <image_Width>/<image_Height>, Camera_Matrix/data,
+        # Distortion_Coefficients/data (k1 k2 p1 p2 [k3 ...])
+        w = int(grab("image_Width", grab("width")))
+        h = int(grab("image_Height", grab("height")))
         cam = root.find("Camera_Matrix/data")
-        K = np.array([float(x) for x in cam.text.split()], np.float32).reshape(3, 3)
-    dist = np.array(
-        [grab("k1"), grab("k2"), grab("p1"), grab("p2"), grab("k3")],
-        np.float32,
-    )
+        if cam is None:
+            raise ValueError(f"{path}: no Camera_Matrix/data element")
+        K = np.array([float(x) for x in cam.text.split()],
+                     np.float32).reshape(3, 3)
+        dc = root.find("Distortion_Coefficients/data")
+        dist = (np.array([float(x) for x in dc.text.split()], np.float32)
+                if dc is not None and dc.text
+                else np.zeros(5, np.float32))
     return w, h, K, dist
 
 

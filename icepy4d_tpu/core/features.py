@@ -73,6 +73,11 @@ class FeatureSet:
             descr_dim = descr.shape[1]
         if capacity is None:
             capacity = max(8, 1 << (max(n, 1) - 1).bit_length())
+        if n > capacity:
+            # JAX silently drops out-of-bounds scatter updates — without
+            # this check, features would vanish without a trace
+            raise ValueError(
+                f"{n} features exceed FeatureSet capacity {capacity}")
         out = cls.empty(capacity, descr_dim)
         idx = jnp.arange(n)
         out = out.replace(

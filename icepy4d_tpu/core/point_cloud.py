@@ -16,19 +16,35 @@ import numpy as np
 from icepy4d_tpu.io.ply import read_ply, write_ply
 
 
-def _sor_mask(xyz: jax.Array, knn: int, std_ratio: float) -> jax.Array:
+def _sor_mask(xyz: jax.Array, knn: int, std_ratio: float,
+              block: int = 4096) -> jax.Array:
     """Statistical outlier removal mask via brute-force kNN on device.
 
-    O(N^2) distances in blocks — fine for sparse SfM clouds (<100k pts);
-    batched matmul keeps it on the MXU.
+    O(N^2) distances computed in ROW BLOCKS under lax.map: peak memory
+    is (block, N) instead of (N, N), so dense clouds (millions of
+    points) run without materializing terabyte matrices; the batched
+    matmul inside each block still rides the MXU.
     """
     n = xyz.shape[0]
-    sq = jnp.sum(xyz * xyz, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (xyz @ xyz.T)
-    d2 = jnp.maximum(d2, 0.0).at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
     k = min(knn, n - 1)
-    neg_top, _ = jax.lax.top_k(-d2, k)
-    mean_d = jnp.mean(jnp.sqrt(jnp.maximum(-neg_top, 0.0)), axis=1)
+    pad = (-n) % block
+    xyz_p = jnp.pad(xyz, ((0, pad), (0, 0)))
+    rows = xyz_p.reshape(-1, block, 3)
+    row_idx = jnp.arange(n + pad).reshape(-1, block)
+    sq_all = jnp.sum(xyz * xyz, axis=1)
+
+    def block_mean_knn(args):
+        pts, idx = args
+        d2 = (jnp.sum(pts * pts, 1)[:, None] + sq_all[None, :]
+              - 2.0 * (pts @ xyz.T))
+        d2 = jnp.maximum(d2, 0.0)
+        # mask self-distance (padded rows index past n and match nothing)
+        d2 = jnp.where(idx[:, None] == jnp.arange(n)[None, :],
+                       jnp.inf, d2)
+        neg_top, _ = jax.lax.top_k(-d2, k)
+        return jnp.mean(jnp.sqrt(jnp.maximum(-neg_top, 0.0)), axis=1)
+
+    mean_d = jax.lax.map(block_mean_knn, (rows, row_idx)).reshape(-1)[:n]
     mu = jnp.mean(mean_d)
     sigma = jnp.std(mean_d)
     return mean_d <= mu + std_ratio * sigma

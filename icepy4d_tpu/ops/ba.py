@@ -79,15 +79,21 @@ def _theta_split(theta: Array, intr_base: Array, free_intr: tuple):
 
 def _project_resid(theta: Array, X: Array, intr_base: Array, xy: Array,
                    w: Array, free_intr: tuple) -> Array:
-    """Weighted 2-vector reprojection residual for one observation."""
+    """Weighted 2-vector reprojection residual for one observation.
+
+    xn is clamped: a point near a NON-observing camera's principal
+    plane (w=0) would otherwise overflow the distortion polynomial to
+    inf, and 0 * inf = NaN poisons every normal-equation build. |xn|
+    <= 32 covers any physical field of view; the final where() makes
+    masked rows EXACTLY zero even if numerics misbehave."""
     rvec, tvec, intr = _theta_split(theta, intr_base, free_intr)
     R = rodrigues_to_matrix(rvec)
     Xc = R @ X + tvec
     z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
-    xn = Xc[:2] / z
+    xn = jnp.clip(Xc[:2] / z, -32.0, 32.0)
     xd = distort_normalized(xn[None], intr[4:])[0]
     px = intr[:2] * xd + intr[2:4]
-    return (px - xy) * w
+    return jnp.where(w > 0, (px - xy) * w, 0.0)
 
 
 def _center_resid(theta: Array, prior: Array, w: Array) -> Array:
@@ -324,13 +330,14 @@ def lm_solve_batched(
     return jax.vmap(fn)(probs)
 
 
-@partial(jax.jit, static_argnames=("free_intr",))
+@partial(jax.jit, static_argnames=("free_intr", "robust_delta"))
 def point_covariances(
     prob: BAProblem,
     cam_theta: Array,
     intrinsics: Array,
     points: Array,
     free_intr: tuple = (),
+    robust_delta: float | None = None,
 ) -> Array:
     """Marginal 3x3 covariance of every point at the BA solution.
 
@@ -352,6 +359,19 @@ def point_covariances(
     def resid_theta(th, X, intr_b, xy, w):
         return _project_resid(th, X, intr_b, xy, w, free_intr)
 
+    obs_w = prob.obs_w
+    if robust_delta is not None:
+        # the estimator downweighted outliers via IRLS — the covariance
+        # must use the SAME weights, else outlier observations feed full
+        # (overconfident) information into JtJ
+        r_obs = jax.vmap(
+            lambda X, xyc, wc: jax.vmap(
+                resid_theta, in_axes=(0, None, 0, 0, 0))(
+                    theta, X, intrinsics, xyc, wc)
+        )(points, prob.obs_xy, prob.obs_w)
+        rw = _huber_irls_weight(jnp.sum(r_obs ** 2, -1), robust_delta)
+        obs_w = obs_w * rw
+
     jac = jax.jacfwd(resid_theta, argnums=(0, 1))
 
     def per_point(X, xyc, wc):
@@ -359,7 +379,7 @@ def point_covariances(
             theta, X, intrinsics, xyc, wc)
         return Jt, Jx
 
-    J_t, J_x = jax.vmap(per_point)(points, prob.obs_xy, prob.obs_w)
+    J_t, J_x = jax.vmap(per_point)(points, prob.obs_xy, obs_w)
     U = jnp.einsum("pcib,pcid->cbd", J_t, J_t)
     V = jnp.einsum("pcib,pcid->pbd", J_x, J_x)
     W = jnp.einsum("pcib,pcid->pcbd", J_t, J_x)

@@ -142,22 +142,25 @@ def undistort_points(
     """
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
-    xn = jnp.stack(
-        [(points[..., 0] - cx) / fx, (points[..., 1] - cy) / fy], axis=-1
-    )
+    sk = K[0, 1]
+    xn = normalize_points(points, K)
     xu = undistort_normalized(xn, pad_distortion(dist), iters=iters)
     return jnp.stack(
-        [xu[..., 0] * fx + cx, xu[..., 1] * fy + cy], axis=-1
+        [xu[..., 0] * fx + sk * xu[..., 1] + cx,
+         xu[..., 1] * fy + cy], axis=-1
     )
 
 
 def normalize_points(points: Array, K: Array) -> Array:
-    """Pixel coords -> normalized camera coords using K only."""
+    """Pixel coords -> normalized camera coords (honors K[0,1] skew —
+    Agisoft XML calibrations put b1 there and project_points applies
+    it, so the inverse must too)."""
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
-    return jnp.stack(
-        [(points[..., 0] - cx) / fx, (points[..., 1] - cy) / fy], axis=-1
-    )
+    sk = K[0, 1]
+    yn = (points[..., 1] - cy) / fy
+    xn = (points[..., 0] - cx - sk * yn) / fx
+    return jnp.stack([xn, yn], axis=-1)
 
 
 def compute_reprojection_error(
@@ -175,9 +178,10 @@ def compute_reprojection_error(
 
 
 def scale_intrinsics(K: Array, scale: Array | float) -> Array:
-    """Scale fx, fy, cx, cy by `scale` (ref sfm/geometry.py:161-173)."""
+    """Scale fx, skew, fy, cx, cy by `scale` (ref sfm/geometry.py:
+    161-173; skew is a pixel-unit quantity and scales with the rest)."""
     S = jnp.array(
-        [[scale, 1.0, scale], [1.0, scale, scale], [1.0, 1.0, 1.0]],
+        [[scale, scale, scale], [1.0, scale, scale], [1.0, 1.0, 1.0]],
         jnp.float32,
     )
     return K * S

@@ -144,18 +144,24 @@ def rodrigues_to_matrix(rvec: Array, eps: float = 1e-12) -> Array:
 
 
 def matrix_to_rodrigues(R: Array, eps: float = 1e-12) -> Array:
-    cos_t = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    v = jnp.stack(
-        [R[..., 2, 1] - R[..., 1, 2],
-         R[..., 0, 2] - R[..., 2, 0],
-         R[..., 1, 0] - R[..., 0, 1]], axis=-1)
-    sin_t = jnp.sin(theta)
-    # Generic case; near theta=0 fall back to first-order v/2.
-    scale = jnp.where(
-        jnp.abs(sin_t) < eps, 0.5, theta / (2.0 * jnp.where(jnp.abs(sin_t) < eps, 1.0, sin_t))
-    )
-    return v * scale[..., None]
+    """Rotation matrix -> axis-angle, via the quaternion.
+
+    The classic antisymmetric-part formula collapses at theta ~ pi
+    (v = R - R^T is exactly zero for e.g. diag(1,-1,-1), yielding a
+    zero rvec that silently resets a 180-degree camera pose — fatal as
+    a bundle-adjustment initialization). The quaternion route is exact
+    for ALL angles: theta = 2*atan2(|q_xyz|, q_w), axis = q_xyz/|q_xyz|,
+    with the theta->0 limit handled by the same expression
+    (axis*theta -> 2*q_xyz)."""
+    q = quaternion_from_matrix(R)
+    # enforce w >= 0 so theta lands in [0, pi]
+    q = q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
+    w = q[..., 0]
+    xyz = q[..., 1:]
+    n = jnp.linalg.norm(xyz, axis=-1)
+    theta = 2.0 * jnp.arctan2(n, w)
+    scale = jnp.where(n < eps, 2.0, theta / jnp.where(n < eps, 1.0, n))
+    return xyz * scale[..., None]
 
 
 # ---------------------------------------------------------------------------

@@ -38,13 +38,22 @@ class SpaceResection:
         reprojection_error: float = 3.0,
         seed: int = 0,
     ) -> Camera:
-        pts2d = jnp.asarray(image_points, jnp.float32).reshape(-1, 2)
-        pts3d = jnp.asarray(object_points, jnp.float32).reshape(-1, 3)
+        p2 = np.asarray(image_points, np.float32).reshape(-1, 2)
+        p3 = np.asarray(object_points, np.float32).reshape(-1, 3)
+        n = p2.shape[0]
+        # pow2 bucket (CLAUDE.md convention): GCP counts vary per epoch
+        # and each distinct shape would recompile the jitted RANSAC
+        cap = max(8, 1 << (max(n, 1) - 1).bit_length())
+        pts2d_np = np.zeros((cap, 2), np.float32)
+        pts3d_np = np.zeros((cap, 3), np.float32)
+        pts2d_np[:n] = p2
+        pts3d_np[:n] = p3
         # PnP expects undistorted observations; remove lens distortion first.
-        pts2d = jnp.asarray(
-            self.camera.undistort_points(np.asarray(pts2d)), jnp.float32
-        )
-        mask = jnp.ones((pts2d.shape[0],), bool)
+        pts2d_np[:n] = np.asarray(
+            self.camera.undistort_points(p2), np.float32)
+        pts2d = jnp.asarray(pts2d_np)
+        pts3d = jnp.asarray(pts3d_np)
+        mask = jnp.asarray(np.arange(cap) < n)
         R, t, inliers = ransac_ops.ransac_pnp(
             jax.random.PRNGKey(seed),
             pts3d,
@@ -109,16 +118,35 @@ class AbsoluteOrientation:
         t = Triangulate(self.cameras, list(image_points))
         return np.asarray(t.triangulate_two_views(), np.float64)
 
+    def _centered(self):
+        """float64 centroids + centered copies: surveyed coordinates are
+        UTM-scale (~5e6 m), where float32 ULP is ~0.5 m — the f32 device
+        kernels must only ever see centroid-relative values."""
+        c0 = self.v0.mean(axis=0)
+        c1 = self.v1.mean(axis=0)
+        return c0, c1, self.v0 - c0, self.v1 - c1
+
+    @staticmethod
+    def _uncenter(Tc: np.ndarray, c0, c1) -> np.ndarray:
+        """Centered-frame similarity -> full transform, composed in
+        float64: T = Trans(c1) @ Tc @ Trans(-c0)."""
+        T = np.eye(4)
+        M = np.asarray(Tc[:3, :3], np.float64)
+        T[:3, :3] = M
+        T[:3, 3] = c1 + np.asarray(Tc[:3, 3], np.float64) - M @ c0
+        return T
+
     def estimate_transformation_linear(
         self, estimate_scale: bool = True
     ) -> np.ndarray:
         """Umeyama SVD similarity v1 ≈ T v0 (ref :141-152)."""
-        T = tf.similarity_from_points(
-            jnp.asarray(self.v0, jnp.float32),
-            jnp.asarray(self.v1, jnp.float32),
+        c0, c1, v0c, v1c = self._centered()
+        Tc = np.asarray(tf.similarity_from_points(
+            jnp.asarray(v0c, jnp.float32),
+            jnp.asarray(v1c, jnp.float32),
             with_scale=estimate_scale,
-        )
-        self.tform = np.asarray(T, np.float64)
+        ), np.float64)
+        self.tform = self._uncenter(Tc, c0, c1)
         return self.tform
 
     def estimate_transformation_least_squares(
@@ -131,13 +159,19 @@ class AbsoluteOrientation:
         weights = None
         if uncertainty is not None:
             weights = jnp.asarray(1.0 / np.asarray(uncertainty), jnp.float32)
-        T = tf.refine_similarity_gauss_newton(
-            jnp.asarray(self.tform, jnp.float32),
-            jnp.asarray(self.v0, jnp.float32),
-            jnp.asarray(self.v1, jnp.float32),
+        c0, c1, v0c, v1c = self._centered()
+        # express the current estimate in the centered frames
+        M = np.asarray(self.tform[:3, :3], np.float64)
+        Tc0 = np.eye(4)
+        Tc0[:3, :3] = M
+        Tc0[:3, 3] = np.asarray(self.tform[:3, 3], np.float64) - c1 + M @ c0
+        Tc = np.asarray(tf.refine_similarity_gauss_newton(
+            jnp.asarray(Tc0, jnp.float32),
+            jnp.asarray(v0c, jnp.float32),
+            jnp.asarray(v1c, jnp.float32),
             weights=weights,
-        )
-        self.tform = np.asarray(T, np.float64)
+        ), np.float64)
+        self.tform = self._uncenter(Tc, c0, c1)
         return self.tform
 
     def extract_params_from_T(self, T: np.ndarray | None = None) -> dict:
@@ -165,10 +199,10 @@ class AbsoluteOrientation:
             T = self.tform
         if points3d is None:
             points3d = self.v1
-        pts = np.asarray(
-            tf.apply_transform(jnp.asarray(T, jnp.float32),
-                               jnp.asarray(points3d, jnp.float32))
-        )
+        # host float64: the translation is world-scale, f32 would
+        # quantize every output point by up to ~0.5 m
+        T64 = np.asarray(T, np.float64)
+        pts = np.asarray(points3d, np.float64) @ T64[:3, :3].T + T64[:3, 3]
         self.v1 = pts
 
         def rebase(cam: Camera) -> Camera:

@@ -240,7 +240,8 @@ class BundleAdjustment:
             # translation-invariant: the re-centered frame is fine
             covs = np.asarray(point_covariances(
                 prob, res.cam_theta, res.intrinsics, res.points,
-                free_intr=free_intr))[:n_tie]
+                free_intr=free_intr,
+                robust_delta=self.cfg.robust_delta))[:n_tie]
         return BAOutput(
             cameras=cameras,
             points=pts,

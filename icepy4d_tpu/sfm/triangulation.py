@@ -81,19 +81,37 @@ class Triangulate:
         return self.points3d
 
     def triangulate_nviews(self) -> np.ndarray:
-        """N-view DLT over all cameras (ref triangulation.py:122-137)."""
+        """N-view DLT over all cameras (ref triangulation.py:122-137).
+
+        Point counts pad to a pow2 bucket (CLAUDE.md convention: ragged
+        shapes recompile the jitted DLT every epoch)."""
         Ps = jnp.stack([cam.P for cam in self.cameras])
-        us = jnp.stack(
-            [jnp.asarray(p, jnp.float32)[..., :2] for p in self.image_points]
-        )
-        self.points3d = np.asarray(tri.triangulate_nview(us, Ps))
+        us_np = [np.asarray(p, np.float32)[..., :2]
+                 for p in self.image_points]
+        n = us_np[0].shape[0]
+        cap = max(8, 1 << (max(n, 1) - 1).bit_length())
+        v = len(us_np)
+        us = np.zeros((v, cap, 2), np.float32)
+        for i, u in enumerate(us_np):
+            us[i, :n] = u
+        mask = np.zeros((v, cap), bool)
+        mask[:, :n] = True
+        pts = tri.triangulate_nview(jnp.asarray(us), Ps,
+                                    jnp.asarray(mask))
+        self.points3d = np.asarray(pts)[:n]
         return self.points3d
 
     def interpolate_colors_from_image(
-        self, image: np.ndarray, camera: Camera, convert_BRG2RGB: bool = True
+        self, image: np.ndarray, camera: Camera,
+        convert_BRG2RGB: bool = False
     ) -> np.ndarray:
         """Project points into `image` and bilinearly sample colors in [0, 1]
-        (ref sfm/interpolate_colors.py:54-88)."""
+        (ref sfm/interpolate_colors.py:54-88).
+
+        convert_BRG2RGB defaults to False: this repo's Image loader
+        (core/images.py::read_image) already decodes RGB via PIL —
+        flipping would swap R/B in the point cloud. Pass True only for
+        cv2-decoded BGR arrays."""
         assert self.points3d is not None, "triangulate first"
         img = np.asarray(image)
         if convert_BRG2RGB and img.ndim == 3 and img.shape[2] == 3:

@@ -328,3 +328,31 @@ def test_point_covariances_match_empirical_error():
     ratio = np.trace(cov2, axis1=1, axis2=2) / np.trace(cov, axis1=1,
                                                         axis2=2)
     np.testing.assert_allclose(ratio, 4.0, rtol=0.05)
+
+
+def test_masked_observation_near_principal_plane_stays_finite():
+    """Review finding: a point near a NON-observing camera's principal
+    plane overflowed the distortion polynomial; 0-weight * inf = NaN
+    poisoned every normal-equation build."""
+    cam_theta, intr, pts, obs = _make_scene(n_cams=3, n_pts=40, seed=2,
+                                            noise_px=0.3)
+    import numpy as np
+
+    # place one point essentially IN camera 2's principal plane
+    from icepy4d_tpu.ops.ba import lm_solve
+    from icepy4d_tpu.ops.transforms import rodrigues_to_matrix
+
+    R = np.asarray(rodrigues_to_matrix(jnp.asarray(cam_theta[2, :3])))
+    t = np.asarray(cam_theta[2, 3:6])
+    C = -R.T @ t
+    z_dir = R[2]                       # camera 2's viewing axis (world)
+    pts = np.asarray(pts).copy()
+    pts[0] = C + 1e-7 * z_dir          # Xc[2] ~ 1e-7 for camera 2
+    w = np.ones(obs.shape[:2], np.float32)
+    w[0, 2] = 0.0                      # camera 2 does NOT observe it
+
+    prob = _problem(cam_theta, intr, pts, obs,
+                    obs_w=jnp.asarray(w))
+    res = lm_solve(prob, max_iters=10)
+    assert np.isfinite(float(res.cost))
+    assert np.isfinite(np.asarray(res.points)).all()

@@ -158,3 +158,31 @@ def test_epoch_map_and_pickle(assets_dir, tmp_path):
     eid = eps.add_epoch(ep)
     assert eps.get_epoch_id(ep.timestamp) == eid
     assert eps.get_epoch_by_date(ep.timestamp) is ep
+
+
+def test_read_xml_calibration_opencv_filestorage(tmp_path):
+    """OpenCV FileStorage layout (review finding: width/height/dist were
+    silently zero)."""
+    from icepy4d_tpu.core.calibration import read_xml_calibration
+
+    xml = """<?xml version="1.0"?>
+<opencv_storage>
+  <image_Width>6012</image_Width>
+  <image_Height>4008</image_Height>
+  <Camera_Matrix type_id="opencv-matrix">
+    <rows>3</rows><cols>3</cols><dt>d</dt>
+    <data>6600. 0. 3006. 0. 6600. 2004. 0. 0. 1.</data>
+  </Camera_Matrix>
+  <Distortion_Coefficients type_id="opencv-matrix">
+    <rows>5</rows><cols>1</cols><dt>d</dt>
+    <data>-0.12 0.09 1.0e-04 -2.0e-04 0.01</data>
+  </Distortion_Coefficients>
+</opencv_storage>"""
+    p = tmp_path / "cal.xml"
+    p.write_text(xml)
+    w, h, K, dist = read_xml_calibration(p)
+    assert (w, h) == (6012, 4008)
+    np.testing.assert_allclose(K[0, 0], 6600.0)
+    np.testing.assert_allclose(K[0, 2], 3006.0)
+    np.testing.assert_allclose(dist[:5],
+                               [-0.12, 0.09, 1e-4, -2e-4, 0.01])

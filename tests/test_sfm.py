@@ -282,3 +282,33 @@ def test_stereo_pipeline_end_to_end():
     # Camera centres land on the transformed positions.
     C0_w = (Tw[:3, :3] @ np.zeros(3)) + Tw[:3, 3]
     assert np.linalg.norm(np.asarray(ao.cameras[0].C) - C0_w) < 0.5
+
+
+def test_absolute_orientation_utm_scale_precision():
+    """UTM-scale survey coordinates (review finding): the f32 kernels
+    must only see centroid-relative values, else every GCP quantizes by
+    ~0.5 m. Recovery must be centimeter-level at 5e6 m northings."""
+    import numpy as np
+
+    from icepy4d_tpu.core import Camera
+    from icepy4d_tpu.sfm import AbsoluteOrientation
+
+    rng = np.random.default_rng(0)
+    v0 = rng.uniform(-50, 50, (12, 3))             # model frame
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0],
+                  [0, 0, 1.0]])
+    s = 1.7
+    t = np.array([416_000.0, 5_090_000.0, 2_200.0])  # UTM-ish
+    v1 = (s * (v0 @ R.T)) + t
+
+    K = np.array([[1000.0, 0, 500], [0, 1000.0, 500], [0, 0, 1]])
+    cams = (Camera.create(width=1000, height=1000, K=K),
+            Camera.create(width=1000, height=1000, K=K))
+    ao = AbsoluteOrientation(cams, points3d_final=v1, points3d_orig=v0)
+    ao.estimate_transformation_linear(estimate_scale=True)
+    ao.estimate_transformation_least_squares()
+    got = ao.apply_transformation(points3d=v0)
+    err = np.linalg.norm(got - v1, axis=1)
+    assert err.max() < 0.02, err.max()
