@@ -68,7 +68,17 @@ def geometric_verification(
             )
         return None, np.ones(n, bool)
 
-    n_hyp = int(min(max_iters, 2048))
+    # confidence -> hypothesis budget, like the sequential RANSACs the
+    # reference calls: n >= log(1-conf) / log(1 - w^8) guarantees (at
+    # assumed inlier ratio w) one all-inlier sample with prob >= conf.
+    # Hypotheses run in PARALLEL here, so the budget is a static shape:
+    # round to the next pow2, floor 512, capped by max_iters. Assumed
+    # w = 0.5 (conservative for verified-putative-match inputs).
+    conf = float(np.clip(confidence, 0.5, 1.0 - 1e-12))
+    w_good = 0.5 ** 8
+    n_conf = int(np.ceil(np.log(1.0 - conf) / np.log(1.0 - w_good)))
+    n_hyp = int(min(max_iters,
+                    max(512, 1 << (max(n_conf, 1) - 1).bit_length())))
     key = jax.random.PRNGKey(seed)
     # pow2 padding: match counts vary per call; exact shapes would
     # recompile the RANSAC program every epoch

@@ -454,7 +454,13 @@ class ImageMatcherBase:
         zero = np.zeros((1, 2), np.float32)
         return self._assemble(feats0, feats1, out, idx, idx, zero, zero)
 
-    def _match_tiled(
+    def _empty_result(self):
+        z2 = np.empty((0, 2), np.float32)
+        zd = np.empty((0, self.descriptor_dim), np.float32)
+        z = np.empty((0,), np.float32)
+        return z2, z2, zd, zd, z, z, z
+
+    def _prepare_tile_pairs(
         self,
         img0,
         img1,
@@ -464,6 +470,9 @@ class ImageMatcherBase:
         origin,
         min_matches_per_tile: int,
     ):
+        """Shared tiled-matching prologue: tilers, pair selection, pow2
+        pair bucket. Returns (tiler0, tiler1, idx0, idx1, pair_valid)
+        or None when no pairs survive selection."""
         tiler0 = Tiler(grid=grid, overlap=overlap, origin=origin)
         tiler1 = Tiler(grid=grid, overlap=overlap, origin=origin)
         tiler0.compute_limits_by_grid(np.empty(img0.shape[:2]))
@@ -476,15 +485,7 @@ class ImageMatcherBase:
             self.timer.update("preselection")
         if not pairs:
             logger.warning("No tile pairs selected — no matches")
-            z2 = np.empty((0, 2), np.float32)
-            zd = np.empty((0, self.descriptor_dim), np.float32)
-            z = np.empty((0,), np.float32)
-            return z2, z2, zd, zd, z, z, z
-
-        tiles0 = tiler0.extract_all(img0)
-        tiles1 = tiler1.extract_all(img1)
-        feats0 = self._extract(tiles0, self._max_keypoints)
-        feats1 = self._extract(tiles1, self._max_keypoints)
+            return None
 
         # pad the pair list to a power-of-two bucket: stable jit shapes
         p = len(pairs)
@@ -494,6 +495,29 @@ class ImageMatcherBase:
         idx0[:p] = [a for a, _ in pairs]
         idx1[:p] = [b for _, b in pairs]
         pair_valid = np.arange(bucket) < p
+        return tiler0, tiler1, idx0, idx1, pair_valid
+
+    def _match_tiled(
+        self,
+        img0,
+        img1,
+        tile_selection: TileSelection,
+        grid,
+        overlap: int,
+        origin,
+        min_matches_per_tile: int,
+    ):
+        prep = self._prepare_tile_pairs(
+            img0, img1, tile_selection, grid, overlap, origin,
+            min_matches_per_tile)
+        if prep is None:
+            return self._empty_result()
+        tiler0, tiler1, idx0, idx1, pair_valid = prep
+
+        tiles0 = tiler0.extract_all(img0)
+        tiles1 = tiler1.extract_all(img1)
+        feats0 = self._extract(tiles0, self._max_keypoints)
+        feats1 = self._extract(tiles1, self._max_keypoints)
 
         th, tw = tiler0.tile_size
         out = self._match_pair_batch(
@@ -889,32 +913,16 @@ class LoFTRMatcher(ImageMatcherBase):
         origin,
         min_matches_per_tile: int,
     ):
-        tiler0 = Tiler(grid=grid, overlap=overlap, origin=origin)
-        tiler1 = Tiler(grid=grid, overlap=overlap, origin=origin)
-        tiler0.compute_limits_by_grid(np.empty(img0.shape[:2]))
-        tiler1.compute_limits_by_grid(np.empty(img1.shape[:2]))
-        self._tiler = tiler0
-
-        pairs = self._select_tile_pairs(
-            img0, img1, tiler0, tiler1, tile_selection, min_matches_per_tile)
-        if hasattr(self, "timer"):
-            self.timer.update("preselection")
-        if not pairs:
-            logger.warning("No tile pairs selected — no matches")
-            z2 = np.empty((0, 2), np.float32)
-            zd = np.empty((0, self.descriptor_dim), np.float32)
-            z = np.empty((0,), np.float32)
-            return z2, z2, zd, zd, z, z, z
+        prep = self._prepare_tile_pairs(
+            img0, img1, tile_selection, grid, overlap, origin,
+            min_matches_per_tile)
+        if prep is None:
+            return self._empty_result()
+        tiler0, tiler1, idx0, idx1, pair_valid = prep
+        bucket = len(idx0)
 
         tiles0 = tiler0.extract_all(img0)
         tiles1 = tiler1.extract_all(img1)
-        p = len(pairs)
-        bucket = _round_up_pow2(p)
-        idx0 = np.zeros(bucket, np.int32)
-        idx1 = np.zeros(bucket, np.int32)
-        idx0[:p] = [a for a, _ in pairs]
-        idx1[:p] = [b for _, b in pairs]
-        pair_valid = np.arange(bucket) < p
 
         th, tw = tiler0.tile_size
         # sim matrix (L0 x L1) + fine windows dominate activation memory

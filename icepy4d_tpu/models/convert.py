@@ -215,6 +215,12 @@ def save_params(path, params) -> None:
 
     def walk(prefix, node):
         if isinstance(node, dict):
+            if not node:
+                # keep empty dicts (e.g. LightGlue's identity
+                # input_proj): dropping them breaks the reload
+                flat[f"{prefix}/__empty_dict__" if prefix
+                     else "__empty_dict__"] = np.zeros(0)
+                return
             for k, v in node.items():
                 walk(f"{prefix}/{k}" if prefix else str(k), v)
         elif isinstance(node, (list, tuple)):
@@ -242,6 +248,8 @@ def load_params(path) -> dict:
 
     def listify(node):
         if isinstance(node, dict):
+            if list(node.keys()) == ["__empty_dict__"]:
+                return {}
             keys = list(node.keys())
             if keys and all(k.isdigit() for k in keys):
                 return [listify(node[str(i)]) for i in range(len(keys))]

@@ -27,7 +27,8 @@ from icepy4d_tpu.core.points import Points
 from icepy4d_tpu.io.export2textfile import (write_cameras_to_file,
                                             write_reprojection_error_to_file)
 from icepy4d_tpu.matching import (GeometricVerification, LightGlueMatcher,
-                                  NearestNeighborMatcher, Quality,
+                                  LoFTRMatcher, NearestNeighborMatcher,
+                                  Quality, SemiDenseMatcher,
                                   SuperGlueMatcher, TileSelection,
                                   track_matches)
 from icepy4d_tpu.sfm import (AbsoluteOrientation, BAConfig,
@@ -41,6 +42,8 @@ logger = logging.getLogger("icepy4d_tpu")
 MATCHERS = {
     "lightglue": LightGlueMatcher,
     "superglue": SuperGlueMatcher,
+    "loftr": LoFTRMatcher,
+    "semidense": SemiDenseMatcher,
     "nn": NearestNeighborMatcher,
 }
 
@@ -217,9 +220,11 @@ class Pipeline:
                             self._next_track_id + len(mk0), dtype=np.int32)
         self._next_track_id += len(mk0)
         for c, mk, d, s in (
-            (self.cams[0], mk0, self.matcher.descriptors0,
+            # descriptors pass as (N, D): the (D, N) auto-transpose
+            # heuristic is ambiguous exactly when len(matches) == D
+            (self.cams[0], mk0, self.matcher.descriptors0.T,
              self.matcher.scores0),
-            (self.cams[1], mk1, self.matcher.descriptors1,
+            (self.cams[1], mk1, self.matcher.descriptors1.T,
              self.matcher.scores1),
         ):
             feats = Features()
@@ -249,8 +254,10 @@ class Pipeline:
         kpts = [k[:n] for k in kpts]
 
         centers = g.get("camera_centers_world", None)
-        baseline = (float(np.linalg.norm(centers[0] - centers[1]))
-                    if centers is not None else None)
+        baseline = (float(np.linalg.norm(
+            np.asarray(centers[0], np.float64)
+            - np.asarray(centers[1], np.float64)))
+            if centers is not None else None)
         rel = RelativeOrientation(cams, kpts)
         valid = rel.estimate_pose(
             threshold=float(self.cfg.get("other", {}).get(
@@ -490,8 +497,24 @@ class Pipeline:
             tri = Triangulate([cam_m, epoch.cameras[sl]],
                               [xy[master][todo], xy[sl][todo]])
             pts3d[todo] = tri.triangulate_two_views()
+        # DROP tracks that never triangulated (all-slave outliers or
+        # too-small groups): zero-filling would feed origin points with
+        # real master observations into BA and the residual CSVs
         ok = np.isfinite(pts3d).all(axis=1)
-        pts3d = np.where(ok[:, None], pts3d, 0.0)
+        if not ok.all():
+            logger.info("multicam: dropping %d / %d untriangulated "
+                        "tracks", int((~ok).sum()), p)
+        pts3d = pts3d[ok]
+        ids = ids[ok]
+        for c in self.cams:
+            xy[c] = xy[c][ok]
+            descr[c] = descr[c][ok]
+            scores[c] = scores[c][ok]
+        p = int(ok.sum())
+        if p < 8:
+            logger.warning("epoch %s: %d triangulated multicam tracks",
+                           epoch.date_str, p)
+            return None, None
 
         # absolute orientation on targets
         if epoch.targets is not None and centers is not None:
@@ -582,14 +605,18 @@ class Pipeline:
                 image_points = {
                     c: epoch.features[c].kpts_to_numpy()[:len(pts3d)]
                     for c in self.cams}
-            # CSV sinks (ref main_dev.py:424-427)
-            write_reprojection_error_to_file(
-                self.results_dir / "residuals_image.csv", epoch.date_str,
-                {c: epoch.cameras[c] for c in self.cams}, pts3d,
-                image_points)
-            write_cameras_to_file(
-                self.results_dir / "estimated_cameras.csv",
-                epoch.date_str, {c: epoch.cameras[c] for c in self.cams})
+            # CSV sinks (ref main_dev.py:424-427); suppressed for the
+            # distributed warm-seed epoch (its OWNER process records it)
+            if not getattr(self, "_suppress_sinks", False):
+                write_reprojection_error_to_file(
+                    self.results_dir / "residuals_image.csv",
+                    epoch.date_str,
+                    {c: epoch.cameras[c] for c in self.cams}, pts3d,
+                    image_points)
+                write_cameras_to_file(
+                    self.results_dir / "estimated_cameras.csv",
+                    epoch.date_str,
+                    {c: epoch.cameras[c] for c in self.cams})
         if bool(proc.get("save_checkpoints", True)):
             epoch.epoch_dir.mkdir(parents=True, exist_ok=True)
             epoch.save_pickle(
@@ -668,16 +695,22 @@ class Pipeline:
         sp = self.matcher._superpoint(self.matcher._max_keypoints)
         step = make_sharded_match_step(mesh, sp, self.matcher.matcher)
 
-        epochs = [self._initialize_epoch(ep) for ep in todo]
-        # intrinsics must live at the SAME scale as the resized frames
-        # the step matches on (the on-device RANSAC normalizes with K)
-        K0 = scale_intrinsics(
-            jnp.asarray(epochs[0].cameras[self.cams[0]].K), scale)
-        K1 = scale_intrinsics(
-            jnp.asarray(epochs[0].cameras[self.cams[1]].K), scale)
-
+        K0 = K1 = None
         for g0 in range(0, len(todo), b):
             group = list(range(g0, min(g0 + b, len(todo))))
+            # initialize (and decode) only THIS group's epochs: a whole
+            # season of 24-MP frames held at once is tens of GB of host
+            # RAM; per-group the footprint is bounded by the mesh size
+            epochs = {i: self._initialize_epoch(todo[i]) for i in group}
+            if K0 is None:
+                # intrinsics must live at the SAME scale as the resized
+                # frames the step matches on (the on-device RANSAC
+                # normalizes with K)
+                first = epochs[group[0]]
+                K0 = scale_intrinsics(
+                    jnp.asarray(first.cameras[self.cams[0]].K), scale)
+                K1 = scale_intrinsics(
+                    jnp.asarray(first.cameras[self.cams[1]].K), scale)
             pad = group + [group[-1]] * (b - len(group))
             ims0 = jnp.stack([
                 _preprocess(jnp.asarray(
@@ -788,26 +821,38 @@ class Pipeline:
 
         proc = self.cfg.get("proc", DotDict())
         prev = None
-        next_idx = 0
+        prev_ts = None
+        done_ts: set = set()
         n_done = 0
         polls = 0
         while True:
-            n_before = len(self.epoch_map)
-            for ep in range(next_idx, n_before):
-                logger.info("=== [watch] new epoch %d ===", ep)
-                epoch = self.process_epoch(ep, prev)
-                self.epoches.add_epoch(epoch, ep)
-                prev = epoch
+            for ep in range(len(self.epoch_map)):
+                ts = self.epoch_map.get_timestamp(ep)
+                if ts in done_ts:
+                    continue
+                # bookkeeping is by TIMESTAMP: a late-arriving EARLIER
+                # epoch (delayed field-camera upload) shifts indices in
+                # the rebuilt map but must neither reprocess others nor
+                # be skipped. Tracking only seeds chronological tails.
+                seed = prev if (prev_ts is None or ts > prev_ts) else None
+                if seed is None and prev_ts is not None and ts <= prev_ts:
+                    logger.warning(
+                        "[watch] out-of-order arrival %s (already past "
+                        "%s) — processed without tracking seed",
+                        ts, prev_ts)
+                logger.info("=== [watch] new epoch %s ===", ts)
+                epoch = self.process_epoch(ep, seed)
+                self.epoches.add_epoch(epoch)
+                done_ts.add(ts)
+                if prev_ts is None or ts > prev_ts:
+                    prev, prev_ts = epoch, ts
                 n_done += 1
                 if stop_after is not None and n_done >= stop_after:
                     return self.epoches
-            next_idx = n_before
             polls += 1
             if max_polls is not None and polls >= max_polls:
                 return self.epoches
             _time.sleep(poll_interval)
-            # rescan: EpochDataMap appends newly-arrived epochs (later
-            # timestamps sort after the processed ones)
             self.epoch_map = EpochDataMap(
                 self.cfg.paths.image_dir, **self._epoch_map_kwargs)
 
@@ -848,14 +893,16 @@ class Pipeline:
             seed_ep = todo[shard.start - 1]
             logger.info("tracking warm-seed: processing boundary epoch "
                         "%d (not recorded)", seed_ep)
-            # don't write artifacts for the seed epoch — its OWNER
-            # process records it (avoids checkpoint write races)
+            # don't write ANY artifacts for the seed epoch — its OWNER
+            # process records it (avoids checkpoint/CSV write races)
             saved = proc.get("save_checkpoints", True)
             proc["save_checkpoints"] = False
+            self._suppress_sinks = True
             try:
                 prev = self.process_epoch(seed_ep, None)
             finally:
                 proc["save_checkpoints"] = saved
+                self._suppress_sinks = False
         for ep in mine:
             if ep >= len(self.epoch_map):
                 break

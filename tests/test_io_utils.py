@@ -341,3 +341,18 @@ def test_params_save_load_roundtrip(tmp_path):
     o2 = lg.match(jax.tree.map(jnp.asarray, back), data)
     np.testing.assert_allclose(np.asarray(o1["mscores0"]),
                                np.asarray(o2["mscores0"]), atol=1e-6)
+
+
+def test_save_load_params_preserves_empty_dicts(tmp_path):
+    """Review finding: LightGlue's identity input_proj ({}) vanished in
+    the save/load round-trip, crashing the reloaded forward."""
+    import numpy as np
+
+    from icepy4d_tpu.models.convert import load_params, save_params
+
+    params = {"input_proj": {}, "layers": [{"w": np.ones((2, 2))}],
+              "assign": [{"b": np.zeros(3)}]}
+    save_params(tmp_path / "p.npz", params)
+    back = load_params(tmp_path / "p.npz")
+    assert back["input_proj"] == {}
+    np.testing.assert_array_equal(back["layers"][0]["w"], np.ones((2, 2)))

@@ -252,3 +252,50 @@ def test_pipeline_watch_processes_arrivals(cfg, tmp_path):
     # random weights yield too few matches to assert it here)
     ts = [epoches[i].timestamp for i in range(3)]
     assert ts == sorted(ts)
+
+
+def test_pipeline_watch_out_of_order_arrival(cfg, tmp_path):
+    """Review finding: a late-arriving EARLIER-timestamp epoch shifted
+    index bookkeeping, reprocessing everything after it. Bookkeeping is
+    by timestamp: the early epoch is processed once, others untouched."""
+    import copy
+    import shutil
+    import threading
+    from pathlib import Path
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    src = Path(cfg.paths.image_dir)
+    stage = tmp_path / "img"
+    cams = sorted(p.name for p in src.iterdir() if p.is_dir())
+    files = {c: sorted((src / c).glob("*")) for c in cams}
+    # start with epochs 1 and 2 only; epoch 0 arrives LATE
+    for c in cams:
+        (stage / c).mkdir(parents=True)
+        for f in files[c][1:3]:
+            shutil.copy2(f, stage / c / f.name)
+
+    wcfg = DotDict.wrap(copy.deepcopy(dict(cfg)))
+    wcfg.paths.image_dir = str(stage)
+    wcfg.paths.results_dir = str(tmp_path / "res")
+    wcfg.proc.epoch_to_process = "all"
+    wcfg.proc.save_checkpoints = False
+    wcfg.proc.load_existing_results = False
+    pipe = Pipeline(wcfg)
+    assert len(pipe.epoch_map) == 2
+
+    def deliver_early():
+        for c in cams:
+            shutil.copy2(files[c][0], stage / c / files[c][0].name)
+
+    t = threading.Timer(1.0, deliver_early)
+    t.start()
+    try:
+        epoches = pipe.watch(poll_interval=1.5, max_polls=4)
+    finally:
+        t.cancel()
+    # all three processed exactly once, no duplicates
+    assert len(epoches) == 3
+    ts = sorted(epoches[i].timestamp for i in range(3))
+    assert len(set(ts)) == 3
