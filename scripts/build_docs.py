@@ -30,6 +30,7 @@ PAGES = [
     "tutorials/single_epoch_stereo.md",
     "tutorials/multitemporal_4d.md",
     "tpu.md",
+    "api.md",
 ]
 
 _STYLE = """

@@ -97,3 +97,16 @@ def test_example_scripts_run(script, args, tmp_path, assets_dir):
              "PYTHONPATH": str(ROOT)},
     )
     assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+
+
+def test_api_reference_builds_and_covers_key_classes():
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "gen_api_docs.py")],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    api = (DOCS / "api.md").read_text()
+    assert "failed to import" not in api
+    for name in ("Camera", "EpochDataMap", "LightGlueMatcher",
+                 "LoFTRMatcher", "BundleAdjustment", "Pipeline",
+                 "ransac_fundamental_degensac", "fused_nms_border"):
+        assert name in api, name
