@@ -119,8 +119,8 @@ def main() -> None:
 def bench_device_step():
     """Device-only step time + MFU (VERDICT round-1 weak #3: wall-clock
     alone hides the host link). Times SuperPoint extraction over a
-    pre-staged full-res HIGH-quality tile batch (the headline's compute
-    core, 8 tiles of 2004x3008) with FLOPs from XLA cost analysis;
+    pre-staged full-res HIGH-quality tile batch (2 tiles of 2004x3008 —
+    the headline protocol extracts 2x4 such tiles) with FLOPs from XLA cost analysis;
     MFU against v5e bf16 peak (197 TFLOP/s)."""
     import jax
     import jax.numpy as jnp

@@ -62,9 +62,11 @@ def main() -> None:
     h, w = ims[cams_names[0]].shape[:2]
 
     cameras = {}
+    cal_width = w
     for c in cams_names:
         cal = Calibration(A / "calib" / f"{c}.txt").to_camera()
         K = np.asarray(cal.K)
+        cal_width = cal.width or w   # target CSVs use CALIBRATED pixels
         if cal.width and cal.width != w:           # downscaled samples
             K = K * (w / cal.width)
             K[2, 2] = 1.0
@@ -121,7 +123,7 @@ def main() -> None:
         obj_file_path=A / "targets" / "target_world.csv")
     t_world, found = targets.get_object_coor_by_label(
         ["F2", "F12", "F13"])
-    t_im = [targets.get_image_coor_by_label(found, i)[0] * (w / 6012.0)
+    t_im = [targets.get_image_coor_by_label(found, i)[0] * (w / cal_width)
             for i in range(2)]
     abso = AbsoluteOrientation(
         tuple(cameras[c] for c in cams_names),

@@ -49,19 +49,33 @@ def estimate_similarity_least_squares(
     Returns (T (4, 4), report dict with rmse/residuals)."""
     x0 = np.asarray(x0, np.float64)
     x1 = np.asarray(x1, np.float64)
+    # f32 device kernels only ever see centroid-relative values: world
+    # coordinates are UTM-scale (~5e6 m) where float32 ULP is ~0.5 m
+    c0 = x0.mean(axis=0)
+    c1 = x1.mean(axis=0)
+    x0c = x0 - c0
+    x1c = x1 - c1
     if T0 is None:
-        T0 = np.asarray(
-            tf.similarity_from_points(jnp.asarray(x0, jnp.float32),
-                                      jnp.asarray(x1, jnp.float32),
-                                      with_scale=True))
-    T = np.asarray(
+        Tc0 = np.asarray(
+            tf.similarity_from_points(jnp.asarray(x0c, jnp.float32),
+                                      jnp.asarray(x1c, jnp.float32),
+                                      with_scale=True), np.float64)
+    else:
+        T0 = np.asarray(T0, np.float64)
+        Tc0 = np.eye(4)
+        Tc0[:3, :3] = T0[:3, :3]
+        Tc0[:3, 3] = T0[:3, 3] - c1 + T0[:3, :3] @ c0
+    Tc = np.asarray(
         tf.refine_similarity_gauss_newton(
-            jnp.asarray(T0, jnp.float32),
-            jnp.asarray(x0, jnp.float32),
-            jnp.asarray(x1, jnp.float32),
+            jnp.asarray(Tc0, jnp.float32),
+            jnp.asarray(x0c, jnp.float32),
+            jnp.asarray(x1c, jnp.float32),
             weights=None if weights is None
             else jnp.asarray(weights, jnp.float32),
-        ))
+        ), np.float64)
+    T = np.eye(4)
+    T[:3, :3] = Tc[:3, :3]
+    T[:3, 3] = c1 + Tc[:3, 3] - Tc[:3, :3] @ c0
     res = x1 - (x0 @ T[:3, :3].T + T[:3, 3])
     rmse = float(np.sqrt(np.mean(np.sum(res ** 2, axis=1))))
     return T, {"rmse": rmse, "residuals": res}

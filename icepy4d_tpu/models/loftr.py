@@ -548,10 +548,26 @@ class LoFTR:
                 params, img0, img1,
                 cell_mask(img0.shape, hw0), cell_mask(img1.shape, hw1))
 
+    # coarse token budget: the dual-softmax sim matrix is L0 x L1 f32;
+    # 32k tokens ~ 4 GB — beyond that the forward cannot fit one chip
+    MAX_COARSE_TOKENS = 32768
+
+    def _check_size(self, h: int, w: int) -> None:
+        l = (h // 8) * (w // 8)
+        if l > self.MAX_COARSE_TOKENS:
+            raise ValueError(
+                f"LoFTR coarse grid {h // 8}x{w // 8} = {l} tokens "
+                f"(> {self.MAX_COARSE_TOKENS}): the L0xL1 similarity "
+                f"matrix would not fit one chip. Use a lower Quality "
+                f"or tile the frame (TileSelection.GRID/PRESELECTION "
+                f"with a finer grid).")
+
     def match_pair(self, params: dict, img0, img1) -> dict:
         """Host entry: pads each image to /8 and runs the fused forward."""
         img0 = jnp.asarray(img0, jnp.float32)
         img1 = jnp.asarray(img1, jnp.float32)
+        self._check_size(*img0.shape)
+        self._check_size(*img1.shape)
         hw0 = (int(img0.shape[0]), int(img0.shape[1]))
         hw1 = (int(img1.shape[0]), int(img1.shape[1]))
 

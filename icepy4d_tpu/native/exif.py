@@ -38,7 +38,9 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _LIB.exists() or (
+                _SRC.exists()
+                and _LIB.stat().st_mtime < _SRC.stat().st_mtime):
             if not _SRC.exists() or not _build():
                 return None
         try:

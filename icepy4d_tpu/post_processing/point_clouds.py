@@ -65,11 +65,8 @@ def mesh_from_dsm_grid(dsm) -> tuple[np.ndarray, np.ndarray]:
     replaces Poisson meshing when open3d is unavailable."""
     z = dsm.z
     h, w = z.shape
-    gx, gy = np.meshgrid(dsm.xx, dsm.yy)
-    verts = np.stack([gx.ravel(), gy.ravel(),
-                      np.nan_to_num(z).ravel()], -1)
+    verts = dsm.cell_xyz()   # shared grid-to-vertices convention
     valid = dsm.mask
-    faces = []
     idx = np.arange(h * w).reshape(h, w)
     v00 = idx[:-1, :-1].ravel()
     v01 = idx[:-1, 1:].ravel()

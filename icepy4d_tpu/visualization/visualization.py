@@ -59,6 +59,10 @@ def plot_matches(
     n = len(kpts0)
     if color is None:
         color = cm.jet(np.linspace(0, 1, max(n, 1)))
+    elif isinstance(color, str):
+        from matplotlib.colors import to_rgba
+
+        color = [to_rgba(color)] * max(n, 1)
     ax[0].scatter(kpts0[:, 0], kpts0[:, 1], c=color, s=point_size)
     ax[1].scatter(kpts1[:, 0], kpts1[:, 1], c=color, s=point_size)
     fig.canvas.draw()
@@ -208,6 +212,10 @@ def display_point_cloud(
     """3-D scatter of a point cloud (+camera frusta) — matplotlib
     fallback for the reference's open3d viewer (ref :569-660)."""
     points = np.asarray(points)
+    if colors is not None:
+        colors = np.asarray(colors)
+        if np.issubdtype(colors.dtype, np.integer):
+            colors = colors / 255.0   # read_ply returns uint8 RGB
     fig = plt.figure(figsize=(8, 6))
     ax = fig.add_subplot(projection="3d")
     ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=ps,
@@ -228,7 +236,8 @@ def plot_camera_time_series(csv_path, camera_names=None, path=None):
 
     df = pd.read_csv(csv_path)
     if camera_names is None:
-        camera_names = sorted({c.split("_")[0] for c in df.columns
+        # strip the metric suffix only: camera names may contain '_'
+        camera_names = sorted({c[: -len("_f")] for c in df.columns
                                if c.endswith("_f")})
     fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
     for cam in camera_names:

@@ -67,6 +67,7 @@ def _minimal_md_to_html(text: str) -> str:
             i += 1
             continue
         if line.startswith("|") and i + 1 < len(lines) \
+                and lines[i + 1].replace("|", "").strip() != "" \
                 and set(lines[i + 1].replace("|", "").strip()) <= \
                 set("-: "):
             rows = []

@@ -169,3 +169,10 @@ def test_match_batch_consistent(jax_model):
         np.asarray(out_b["keypoints1"])[0][np.asarray(out_b["valid"])[0]],
         np.asarray(out_s["keypoints1"])[np.asarray(out_s["valid"])],
         atol=1e-4)
+
+
+def test_oversized_frame_raises_actionable_error(jax_model):
+    params = jax_model.init(0)
+    big = np.zeros((4096, 6144), np.float32)
+    with pytest.raises(ValueError, match="lower Quality or tile"):
+        jax_model.match_pair(params, big, big)

@@ -312,3 +312,24 @@ def test_absolute_orientation_utm_scale_precision():
     got = ao.apply_transformation(points3d=v0)
     err = np.linalg.norm(got - v1, axis=1)
     assert err.max() < 0.02, err.max()
+
+
+def test_least_squares_helmert_utm_scale():
+    """least_squares module: same UTM-precision guarantee as sfm.AO."""
+    import numpy as np
+
+    from icepy4d_tpu.least_squares.absolute_orientation import (
+        estimate_similarity_least_squares)
+
+    rng = np.random.default_rng(4)
+    x0 = rng.uniform(-40, 40, (15, 3))
+    ang = -0.2
+    R = np.array([[np.cos(ang), 0, np.sin(ang)],
+                  [0, 1.0, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([432_100.0, 5_123_456.0, 1_800.0])
+    x1 = 0.8 * (x0 @ R.T) + t
+    T, rep = estimate_similarity_least_squares(x0, x1)
+    assert rep["rmse"] < 0.01, rep["rmse"]
+    got = x0 @ T[:3, :3].T + T[:3, 3]
+    assert np.abs(got - x1).max() < 0.02
