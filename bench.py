@@ -100,6 +100,7 @@ def main() -> None:
             f"inliers={inliers} gv_s={gv_s}")
 
     dev = bench_device_step()
+    dev.update(bench_dense_sweep())
     epm, epm_warm = bench_pipeline_epochs()
 
     print(json.dumps({
@@ -159,6 +160,42 @@ def bench_device_step():
         out["extract_tflops"] = round(flops / 1e12, 2)
         out["extract_mfu_pct"] = round(100.0 * flops / dt / 197e12, 2)
     return out
+
+
+def bench_dense_sweep():
+    """Dense reconstruction core: rectified disparity sweep over
+    2000x3008 px x 96 hypotheses (7x7 ZNCC, subpixel, uniqueness) —
+    the Metashape buildDepthMaps replacement's hot loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icepy4d_tpu.ops.dense import _disparity_sweep
+
+    rng = np.random.default_rng(0)
+    I0 = jax.device_put(jnp.asarray(
+        rng.uniform(size=(2000, 3008)), jnp.float32))
+    I1 = jax.device_put(jnp.asarray(
+        rng.uniform(size=(2000, 3008)), jnp.float32))
+    # two dispatches: the sweep (jit boundary MATERIALIZES all four
+    # output maps, like production consumers need) + an on-device
+    # reduction whose scalar is the host sync. Reading a full map would
+    # time the 50 MB/s link; an in-jit sum would let XLA dead-code the
+    # unread outputs — both dishonest.
+    fn = jax.jit(lambda a, b: _disparity_sweep(
+        a, b, jnp.float32(-40.0), jnp.float32(40.0), 64, 96, 7))
+    red = jax.jit(lambda d: d["cost"].sum() + d["disparity"].sum())
+
+    def run_sync():
+        return float(np.asarray(red(fn(I0, I1))))
+
+    run_sync()
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        run_sync()
+        ts.append(time.perf_counter() - t0)
+    return {"dense_sweep_ms_2000x3008x96": round(min(ts) * 1000, 1)}
 
 
 def bench_pipeline_epochs():

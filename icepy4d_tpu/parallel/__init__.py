@@ -26,6 +26,9 @@ from icepy4d_tpu.parallel.superglue_sp import (  # noqa: F401
 from icepy4d_tpu.parallel.lightglue_pp import (  # noqa: F401
     make_pipeline_parallel_lightglue,
 )
+from icepy4d_tpu.parallel.loftr_pp import (  # noqa: F401
+    make_pipeline_parallel_loftr_coarse,
+)
 from icepy4d_tpu.parallel.staged import (  # noqa: F401
     StagedPipeline,
     split_devices,

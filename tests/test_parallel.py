@@ -238,3 +238,36 @@ def test_pipeline_parallel_rejects_bad_split():
     mesh = make_mesh(4, dp=4, tp=1, axis_names=("pp", "unused"))
     with pytest.raises(ValueError):
         make_pipeline_parallel_lightglue(mesh, LightGlue(n_layers=9))
+
+
+def test_pipeline_parallel_loftr_coarse_matches_dense():
+    """Staged LoFTR coarse transformer == batched lft_apply."""
+    from icepy4d_tpu.models.loftr import LoFTR, lft_apply
+    from icepy4d_tpu.parallel.loftr_pp import (
+        make_pipeline_parallel_loftr_coarse)
+
+    mesh = make_mesh(4, dp=4, tp=1, axis_names=("pp", "unused"))
+    model = LoFTR(coarse_pairs=4, precision="highest")
+    params = model.init(0)
+
+    r = np.random.default_rng(7)
+    b, l, d = 8, 48, 256
+    c0 = jnp.asarray(r.normal(size=(b, l, d)), jnp.float32)
+    c1 = jnp.asarray(r.normal(size=(b, l, d)), jnp.float32)
+    m0 = jnp.asarray(r.uniform(size=(b, l)) < 0.9)
+    m1 = jnp.asarray(r.uniform(size=(b, l)) < 0.9)
+
+    ref0, ref1 = jax.vmap(
+        lambda a, c, ma, mb_: lft_apply(
+            params["coarse"], a[None], c[None], ma[None], mb_[None],
+            model.nhead, model.coarse_pairs)
+    )(c0, c1, m0, m1)
+    ref0 = ref0[:, 0]
+    ref1 = ref1[:, 0]
+
+    pp = make_pipeline_parallel_loftr_coarse(mesh, model, axis="pp")
+    got0, got1 = pp(params["coarse"], c0, c1, m0, m1)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               atol=2e-4)
