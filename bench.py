@@ -247,7 +247,9 @@ def bench_pipeline_epochs():
 
     try:
         cold = run_once()     # includes compile of every pipeline shape
-        warm = run_once()     # steady-state (a season reuses all shapes)
+        # steady-state: best of two (remote-tunnel latency jitter swings
+        # single runs by ~30%; min-of-N like the headline measurement)
+        warm = max(run_once(), run_once())
         return round(cold, 2), round(warm, 2)
     finally:
         shutil.rmtree(out, ignore_errors=True)

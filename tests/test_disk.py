@@ -173,3 +173,30 @@ def test_disk_converter_shapes_roundtrip():
 
     assert jax.tree.map(lambda a: np.asarray(a).shape, params) == \
         jax.tree.map(lambda a: np.asarray(a).shape, init)
+
+
+def test_disk_backed_lightglue_matcher_runs():
+    """DISK (128-d) + LightGlue with an input projection — the
+    reference's disk+lightglue pairing (lightglue.py features='disk')."""
+    import cv2
+
+    from icepy4d_tpu.matching import (GeometricVerification,
+                                      LightGlueMatcher, Quality,
+                                      TileSelection)
+
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(size=(30, 41)).astype(np.float32)
+    base = np.clip(cv2.resize(lo, (328, 240),
+                              interpolation=cv2.INTER_CUBIC) * 255,
+                   0, 255).astype(np.uint8)
+    img0, img1 = base[:, :320], base[:, 8:]
+    m = LightGlueMatcher({"extractor": "disk", "max_keypoints": 256,
+                          "n_layers": 2, "filter_threshold": 0.0})
+    assert m.descriptor_dim == 128
+    ok = m.match(img0, img1, quality=Quality.HIGH,
+                 tile_selection=TileSelection.NONE,
+                 geometric_verification=GeometricVerification.NONE)
+    assert ok
+    # 128-d descriptors flow through the 128->256 input projection
+    assert m.descriptors0.shape[0] == 128
+    assert len(m.mkpts0) == len(m.mconf)
