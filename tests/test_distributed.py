@@ -124,7 +124,11 @@ _WORKER = textwrap.dedent("""
 
 
 def test_two_process_distributed_season():
-    port = 29531
+    import os
+
+    # pid-derived port: a fixed one collides with TIME_WAIT sockets
+    # when the suite re-runs back-to-back
+    port = 29000 + (os.getpid() % 900)
     code = _WORKER.format(repo="/root/repo", port=port)
     procs = [subprocess.Popen(
         [sys.executable, "-c", code, str(i)],
