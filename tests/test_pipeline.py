@@ -299,3 +299,15 @@ def test_pipeline_watch_out_of_order_arrival(cfg, tmp_path):
     assert len(epoches) == 3
     ts = sorted(epoches[i].timestamp for i in range(3))
     assert len(set(ts)) == 3
+
+
+def test_matchers_registry_all_construct():
+    """Every documented matching.matcher config value constructs
+    (review finding: 'loftr'/'semidense' raised KeyError)."""
+    from icepy4d_tpu.pipeline import MATCHERS
+
+    assert set(MATCHERS) == {"lightglue", "superglue", "loftr",
+                             "semidense", "nn"}
+    for name, cls in MATCHERS.items():
+        m = cls({"max_keypoints": 64})
+        assert hasattr(m, "match"), name
