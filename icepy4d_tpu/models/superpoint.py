@@ -46,7 +46,7 @@ class SuperPointNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> tuple[Array, Array]:
+    def __call__(self, x: Array, raw: bool = False) -> tuple[Array, Array]:
         conv = partial(nn.Conv, kernel_size=(3, 3), padding=1, dtype=self.dtype)
         c1, c2, c3, c4 = self.channels
         x = x.astype(self.dtype)
@@ -65,6 +65,15 @@ class SuperPointNet(nn.Module):
         # detector head: 65 = 8*8 cells + dustbin
         cpa = nn.relu(conv(256, name="convPa")(x))
         logits = nn.Conv(65, (1, 1), dtype=self.dtype, name="convPb")(cpa)
+        if raw:
+            # training surface: 65-way cell logits + normalized dense
+            # descriptors (training/superpoint_train.py)
+            cda_r = nn.relu(conv(256, name="convDa")(x))
+            desc_r = nn.Conv(self.descriptor_dim, (1, 1), dtype=self.dtype,
+                             name="convDb")(cda_r).astype(jnp.float32)
+            desc_r = desc_r / jnp.maximum(
+                jnp.linalg.norm(desc_r, axis=-1, keepdims=True), 1e-12)
+            return logits.astype(jnp.float32), desc_r
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :64]
         b, hc, wc, _ = probs.shape
         # pixel shuffle 8x8: cell channels -> pixels
