@@ -66,6 +66,27 @@ class Epoch:
         self.targets = targets
         self.point_cloud = point_cloud
         self.epoch_dir = Path(epoch_dir) if epoch_dir else None
+        # Season-level quality gate record (no reference counterpart —
+        # the reference checkpoints whatever the epoch produced, incl.
+        # garbage geometry). status: ok | degraded | failed; flags name
+        # the gates that fired (e.g. "few_matches", "ba_failed").
+        self.quality: dict = {"status": "ok", "flags": [], "stats": {}}
+
+    def flag(self, flag: str, status: str = "degraded", **stats) -> None:
+        """Record a failed quality gate. 'failed' dominates 'degraded'."""
+        q = self.quality
+        if flag not in q["flags"]:
+            q["flags"].append(flag)
+        order = {"ok": 0, "degraded": 1, "failed": 2}
+        if order[status] > order[q["status"]]:
+            q["status"] = status
+        q["stats"].update(stats)
+
+    def __setstate__(self, state):
+        # checkpoints written before quality gates existed load as "ok"
+        self.__dict__.update(state)
+        if "quality" not in state:
+            self.quality = {"status": "ok", "flags": [], "stats": {}}
 
     def __repr__(self) -> str:
         return f"Epoch({self.timestamp.strftime(DATETIME_FMT)})"

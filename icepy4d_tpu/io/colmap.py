@@ -29,8 +29,8 @@ import numpy as np
 CAMERA_MODELS = {
     0: ("SIMPLE_PINHOLE", 3),
     1: ("PINHOLE", 4),
-    2: ("SIMPLE_RADIAL", 3),
-    3: ("RADIAL", 4),
+    2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5),
     4: ("OPENCV", 8),
     5: ("OPENCV_FISHEYE", 8),
     6: ("FULL_OPENCV", 12),

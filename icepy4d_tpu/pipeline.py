@@ -213,9 +213,13 @@ class Pipeline:
             save_dir=(str(epoch.epoch_dir) if do_viz else None),
         )
         mk0, mk1 = self.matcher.mkpts0, self.matcher.mkpts1
+        gates = self.cfg.get("quality_gates", DotDict())
+        epoch.quality["stats"]["n_matches"] = len(mk0)
         if len(mk0) < 8:
             logger.warning("epoch %s: only %d matches", epoch.date_str,
                            len(mk0))
+        if len(mk0) < int(gates.get("min_matches", 8)):
+            epoch.flag("few_matches", "failed", n_matches=len(mk0))
         new_ids = np.arange(self._next_track_id,
                             self._next_track_id + len(mk0), dtype=np.int32)
         self._next_track_id += len(mk0)
@@ -250,6 +254,7 @@ class Pipeline:
         kpts = [epoch.features[c].kpts_to_numpy() for c in self.cams]
         n = min(len(k) for k in kpts)
         if n < 8:
+            epoch.flag("no_orientation", "failed", n_matches=n)
             return None
         kpts = [k[:n] for k in kpts]
 
@@ -265,6 +270,11 @@ class Pipeline:
             scale_factor=baseline)
         epoch.cameras[self.cams[1]] = rel.cameras[1]
         valid = np.asarray(valid, bool)
+        n_inl = int(valid.sum())
+        epoch.quality["stats"]["n_orientation_inliers"] = n_inl
+        if n_inl < int(self.cfg.get("quality_gates", DotDict()).get(
+                "min_inliers", 8)):
+            epoch.flag("few_inliers", "failed", n_inliers=n_inl)
         for c in self.cams:
             epoch.features[c].filter_feature_by_mask(valid)
         kpts = [k[valid] for k in kpts]
@@ -338,9 +348,22 @@ class Pipeline:
             marker_image_points=mobs, marker_world=mworld,
             camera_centers=cam_centers, cfg=cfg)
         out = ba.run()
+        if not out.ok:
+            # keep the pre-BA (AO) cameras; mark the epoch degraded so
+            # the checkpoint records that its geometry was not refined
+            logger.warning("epoch %s BA refused: %s — keeping pre-BA "
+                           "cameras", epoch.date_str, out.failure)
+            epoch.flag("ba_failed", "degraded", ba_failure=out.failure)
+            return pts3d
         logger.info("epoch %s BA: rmse %.3f px in %d iters",
                     epoch.date_str, out.reprojection_rmse_px,
                     out.iterations)
+        epoch.quality["stats"]["ba_rmse_px"] = out.reprojection_rmse_px
+        max_rmse = float(self.cfg.get("quality_gates", DotDict()).get(
+            "max_ba_rmse_px", 10.0))
+        if out.reprojection_rmse_px > max_rmse:
+            epoch.flag("ba_rmse", "degraded",
+                       ba_rmse_px=out.reprojection_rmse_px)
         for c in self.cams:
             epoch.cameras[c] = out.cameras[c]
         return out.points
@@ -514,6 +537,7 @@ class Pipeline:
         if p < 8:
             logger.warning("epoch %s: %d triangulated multicam tracks",
                            epoch.date_str, p)
+            epoch.flag("few_inliers", "failed", n_tracks=p)
             return None, None
 
         # absolute orientation on targets
@@ -554,9 +578,18 @@ class Pipeline:
                     fit_f=bool(ba_cfg.get("fit_f", False)),
                     max_iters=int(ba_cfg.get("max_iters", 60))))
             out = ba.run()
-            for c in self.cams:
-                epoch.cameras[c] = out.cameras[c]
-            pts3d = out.points
+            if out.ok:
+                epoch.quality["stats"]["ba_rmse_px"] = \
+                    out.reprojection_rmse_px
+                for c in self.cams:
+                    epoch.cameras[c] = out.cameras[c]
+                pts3d = out.points
+            else:
+                logger.warning("epoch %s BA refused: %s — keeping "
+                               "pre-BA cameras", epoch.date_str,
+                               out.failure)
+                epoch.flag("ba_failed", "degraded",
+                           ba_failure=out.failure)
 
         # store per-camera Features (master: all tracks; slaves: seen),
         # with descriptors/scores so the next epoch can seed tracking
@@ -796,7 +829,28 @@ class Pipeline:
         finally:
             self._prefetched.clear()
             self._active_prefetch = None
+        self.summarize_quality()
         return self.epoches
+
+    def summarize_quality(self) -> dict:
+        """Season-level quality summary: per-status epoch counts plus
+        the flagged epochs by name (gates recorded via Epoch.flag).
+        Logged at the end of run(); also returned for programmatic use.
+        No reference counterpart — the reference checkpoints failed
+        epochs indistinguishably from good ones."""
+        counts = {"ok": 0, "degraded": 0, "failed": 0}
+        flagged = {}
+        for ep in self.epoches:
+            q = getattr(ep, "quality",
+                        {"status": "ok", "flags": [], "stats": {}})
+            counts[q["status"]] = counts.get(q["status"], 0) + 1
+            if q["flags"]:
+                flagged[ep.date_str] = list(q["flags"])
+        logger.info("season quality: %d ok / %d degraded / %d failed",
+                    counts["ok"], counts["degraded"], counts["failed"])
+        for date, flags in flagged.items():
+            logger.warning("  epoch %s: %s", date, ", ".join(flags))
+        return {"counts": counts, "flagged": flagged}
 
     def watch(
         self,

@@ -46,6 +46,11 @@ class BAConfig:
     robust_delta: float | None = None  # Huber band (sigma); None = LS
     compute_covariance: bool = False   # Metashape tiepoint_covariance
     max_iters: int = 100
+    # Degeneracy guard: Metashape simply refuses to optimize an
+    # under-constrained chunk (ref metashape/metashape.py:195-196 —
+    # optimizeCameras raises); we refuse too instead of applying a
+    # diverged/NaN solution. Minimum tie points seen by >= 2 cameras:
+    min_points: int = 10
 
 
 @dataclass
@@ -57,6 +62,8 @@ class BAOutput:
     iterations: int
     reprojection_rmse_px: float
     point_covariances: np.ndarray | None = None  # (P, 3, 3) when requested
+    ok: bool = True              # False: guard fired, cameras/points are
+    failure: str | None = None   # the UNCHANGED inputs (see BAConfig)
 
 
 def _camera_to_theta(cam: Camera) -> np.ndarray:
@@ -183,11 +190,32 @@ class BundleAdjustment:
         )
         return prob, shift, n_tie
 
+    def _failed(self, failure: str) -> BAOutput:
+        return BAOutput(
+            cameras=dict(self.cameras), points=self.points3d,
+            cost=float("nan"), initial_cost=float("nan"), iterations=0,
+            reprojection_rmse_px=float("nan"), ok=False, failure=failure)
+
     def run(self) -> BAOutput:
         cfg = self.cfg
         free_intr = tuple(cfg.free_intrinsics)
         if cfg.fit_f and not free_intr:
             free_intr = (0, 1)
+
+        # degeneracy guard BEFORE solving: tie points with >= 2 finite
+        # observations are the only ones that constrain the cameras
+        n_multi = 0
+        if self.points3d.shape[0]:
+            seen = np.zeros(self.points3d.shape[0], np.int32)
+            for name in self.cam_names:
+                xy = np.asarray(self.image_points[name], np.float32)
+                seen += np.isfinite(xy).all(axis=1)[: len(seen)]
+            n_multi = int((seen >= 2).sum())
+        if n_multi < cfg.min_points:
+            return self._failed(
+                f"only {n_multi} multi-view tie points "
+                f"(min_points={cfg.min_points})")
+
         prob, shift, n_tie = self._assemble()
         res: BAResult = lm_solve(
             prob, free_intr=free_intr, max_iters=cfg.max_iters,
@@ -235,6 +263,18 @@ class BundleAdjustment:
             sq += float((r ** 2).sum())
             n_obs += int(ok.sum())
         rmse = float(np.sqrt(sq / max(n_obs, 1)))
+
+        # finite-check AFTER solving: a diverged LM (NaN/inf anywhere in
+        # the solution) must never overwrite the input cameras
+        finite = (np.isfinite(rmse)
+                  and np.isfinite(cam_theta).all()
+                  and np.isfinite(intr).all()
+                  and np.isfinite(pts).all())
+        if not finite:
+            return self._failed(
+                f"non-finite solution after {int(res.iterations)} iters "
+                f"(rmse={rmse})")
+
         covs = None
         if cfg.compute_covariance:
             # translation-invariant: the re-centered frame is fine

@@ -356,3 +356,55 @@ def test_masked_observation_near_principal_plane_stays_finite():
     res = lm_solve(prob, max_iters=10)
     assert np.isfinite(float(res.cost))
     assert np.isfinite(np.asarray(res.points)).all()
+
+
+def test_ba_refuses_degenerate_problem(calib_file):
+    """A 1-point epoch must NOT be solved: guard fires, cameras and
+    points come back unchanged, ok=False (Metashape semantics — it
+    refuses an under-constrained chunk, ref metashape.py:195-196)."""
+    from icepy4d_tpu.core import Calibration
+    from icepy4d_tpu.core.camera import Camera
+    from icepy4d_tpu.sfm import BAConfig, BundleAdjustment
+
+    cam = Calibration(calib_file).to_camera()
+    K = np.asarray(cam.K)
+    E1 = np.eye(4, dtype=np.float32)
+    E2 = np.eye(4, dtype=np.float32)
+    E2[:3, 3] = [-30.0, 0, 0]
+    cams = {"cam1": Camera.create(K=K, extrinsics=E1),
+            "cam2": Camera.create(K=K, extrinsics=E2)}
+    pts = np.array([[0.0, 0.0, 100.0]], np.float32)
+    obs = {"cam1": np.array([[3000.0, 2000.0]], np.float32),
+           "cam2": np.array([[3100.0, 2000.0]], np.float32)}
+
+    ba = BundleAdjustment(cams, obs, pts, cfg=BAConfig())
+    out = ba.run()
+    assert not out.ok
+    assert "multi-view tie points" in out.failure
+    assert out.iterations == 0
+    # unchanged inputs returned verbatim
+    assert out.cameras["cam1"] is cams["cam1"]
+    np.testing.assert_array_equal(out.points, pts)
+    assert np.isnan(out.reprojection_rmse_px)
+
+
+def test_ba_min_points_counts_multiview_only(calib_file):
+    """Points seen by a single camera don't constrain anything — the
+    guard must count >=2-view points, not rows."""
+    from icepy4d_tpu.core import Calibration
+    from icepy4d_tpu.core.camera import Camera
+    from icepy4d_tpu.sfm import BAConfig, BundleAdjustment
+
+    cam = Calibration(calib_file).to_camera()
+    K = np.asarray(cam.K)
+    cams = {"cam1": Camera.create(K=K, extrinsics=np.eye(4, dtype=np.float32)),
+            "cam2": Camera.create(K=K, extrinsics=np.eye(4, dtype=np.float32))}
+    n = 40
+    pts = np.zeros((n, 3), np.float32) + [0, 0, 100]
+    rng = np.random.default_rng(0)
+    obs1 = rng.uniform(100, 500, (n, 2)).astype(np.float32)
+    obs2 = np.full((n, 2), np.nan, np.float32)  # cam2 sees nothing
+    ba = BundleAdjustment(cams, {"cam1": obs1, "cam2": obs2},
+                          pts, cfg=BAConfig(min_points=10))
+    out = ba.run()
+    assert not out.ok and "only 0 multi-view" in out.failure

@@ -133,6 +133,67 @@ def test_binary_model_written_by_official_oracle_reads_back(tmp_path):
     _assert_models_equal((cams, imgs, pts), read_model(tmp_path, ".bin"))
 
 
+def _import_oracle():
+    sys.path.insert(0, ORACLE_PATH)
+    try:
+        import read_write_model as oracle
+    finally:
+        sys.path.remove(ORACLE_PATH)
+    return oracle
+
+
+ALL_MODELS = ["SIMPLE_PINHOLE", "PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+              "OPENCV", "OPENCV_FISHEYE", "FULL_OPENCV", "FOV",
+              "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE",
+              "THIN_PRISM_FISHEYE"]
+
+
+@pytest.mark.parametrize("model", ALL_MODELS)
+def test_all_camera_models_oracle_roundtrip(tmp_path, model):
+    """Every COLMAP camera model round-trips byte-identically through
+    the official (reference-vendored) reader AND writer — catches
+    param-count table bugs (SIMPLE_RADIAL=4, RADIAL=5 per spec,
+    ref io/colmap_utils/read_write_model.py:56-68)."""
+    oracle = _import_oracle()
+    n_params = oracle.CAMERA_MODEL_NAMES[model].num_params
+    from icepy4d_tpu.io.colmap import CAMERA_MODELS, CAMERA_MODEL_IDS
+    assert CAMERA_MODELS[CAMERA_MODEL_IDS[model]][1] == n_params
+
+    rng = np.random.default_rng(hash(model) % 2 ** 31)
+    # Two cameras: a desync in record length for cam 1 corrupts cam 2.
+    cams = {1: ColmapCamera(1, model, 800, 600,
+                            rng.uniform(0.1, 900, n_params)),
+            2: ColmapCamera(2, "PINHOLE", 64, 48,
+                            np.asarray([50.0, 50.0, 32.0, 24.0]))}
+
+    # ours -> oracle
+    write_model(cams, {}, {}, tmp_path, ext=".bin")
+    got = oracle.read_cameras_binary(tmp_path / "cameras.bin")
+    assert got[1].model == model and len(got[1].params) == n_params
+    np.testing.assert_allclose(got[1].params, cams[1].params)
+    np.testing.assert_allclose(got[2].params, cams[2].params)
+
+    # oracle -> ours
+    o_cams = {k: oracle.Camera(id=v.id, model=v.model, width=v.width,
+                               height=v.height, params=v.params)
+              for k, v in cams.items()}
+    oracle.write_cameras_binary(o_cams, tmp_path / "cameras2.bin")
+    (tmp_path / "cameras2.bin").replace(tmp_path / "cameras.bin")
+    oracle.write_images_binary({}, tmp_path / "images.bin")
+    oracle.write_points3D_binary({}, tmp_path / "points3D.bin")
+    back, _, _ = read_model(tmp_path, ".bin")
+    assert back[1].model == model and len(back[1].params) == n_params
+    np.testing.assert_allclose(back[1].params, cams[1].params)
+    np.testing.assert_allclose(back[2].params, cams[2].params)
+
+    # ours <-> ours, both formats
+    for ext in (".bin", ".txt"):
+        write_model(cams, {}, {}, tmp_path, ext=ext)
+        rb, _, _ = read_model(tmp_path, ext)
+        np.testing.assert_allclose(rb[1].params, cams[1].params,
+                                   rtol=1e-12)
+
+
 def test_qvec_rotmat_roundtrip():
     rng = np.random.default_rng(3)
     for _ in range(10):

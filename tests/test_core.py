@@ -186,3 +186,27 @@ def test_read_xml_calibration_opencv_filestorage(tmp_path):
     np.testing.assert_allclose(K[0, 2], 3006.0)
     np.testing.assert_allclose(dist[:5],
                                [-0.12, 0.09, 1e-4, -2e-4, 0.01])
+
+
+def test_sensor_width_database_bundled_openmvg():
+    """The full openMVG CSV (~3,600 rows) is bundled; cameras absent
+    from the legacy 10-entry override table must resolve (ref
+    thirdparty/CameraSensorSizeDatabase/sensor_database.csv)."""
+    from icepy4d_tpu.core.sensor_width_database import (
+        SensorWidthDatabase, _BUILTIN)
+
+    db = SensorWidthDatabase()
+    assert len(db.table) > 3000
+    # Rows straight from the openMVG CSV, none in _BUILTIN:
+    for make, model, width in [
+        ("Acer", "Acer CE-5330", 5.75),
+        ("Canon", "Canon EOS 5D Mark II", 36.0),
+        ("Nikon", "Nikon D90", 23.6),
+        ("Panasonic", "Panasonic Lumix DMC-GH3", 17.3),
+    ]:
+        assert (make.lower(), model.lower()) not in _BUILTIN
+        assert db.lookup(make, model) == width
+    # Substring fallback: EXIF often gives Make="NIKON CORPORATION".
+    assert db.lookup("NIKON CORPORATION", "NIKON D90") == 23.6
+    # Override table still wins for the modern bodies it pins.
+    assert db.lookup("Canon", "Canon EOS 2000D") == 22.3
