@@ -14,3 +14,18 @@ from icepy4d_tpu.post_processing.point_clouds import (  # noqa: F401
     meshing_poisson,
     read_and_merge_point_clouds,
 )
+from icepy4d_tpu.post_processing.analysis import (  # noqa: F401
+    VoxelGrid,
+    border_statistics,
+    detect_border,
+    extract_section,
+    extract_sections,
+    geometric_features,
+    make_pairs,
+    plot_sections,
+    volume_variations,
+    voxel_mesh,
+    voxelize,
+    write_border_time_series,
+    write_voxel_centers,
+)

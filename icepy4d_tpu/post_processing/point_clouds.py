@@ -130,16 +130,37 @@ def write_mesh_ply(path, verts: np.ndarray, faces: np.ndarray) -> None:
 class DemOfDifference:
     """API-parity wrapper over the grid DEM differencing
     (ref post_processing/cloudcompare_fun.py:74-216): build DSMs from two
-    point clouds on a shared grid and report volume change."""
+    point clouds on a shared grid and report volume change.
+
+    `pcd0`/`pcd1` accept (N, 3) arrays or PLY paths (the reference's
+    constructor takes a path pair). `direction` picks the rasterization
+    axis like cloudComPy ComputeVolume25D's vertDim (ref :99-107):
+    "x" grids over (y, z), "y" over (x, z), "z" over (x, y)."""
+
+    _PERM = {"x": (1, 2, 0), "y": (0, 2, 1), "z": (0, 1, 2)}
 
     def __init__(self, pcd0, pcd1, dsm_step: float = 1.0,
-                 xlim=None, ylim=None):
+                 xlim=None, ylim=None, direction: str = "z"):
+        from pathlib import Path as _Path
+
         from icepy4d_tpu.utils.dsm_orthophoto import build_dsm
 
         import numpy as _np
 
-        p0 = _np.asarray(pcd0, _np.float32)
-        p1 = _np.asarray(pcd1, _np.float32)
+        self.names = ["", ""]
+        pts = []
+        for i, p in enumerate((pcd0, pcd1)):
+            if isinstance(p, (str, _Path)):
+                self.names[i] = _Path(p).stem
+                from icepy4d_tpu.io.ply import read_ply
+
+                p = read_ply(p)[0]
+            pts.append(_np.asarray(p, _np.float32))
+        if direction not in self._PERM:
+            raise ValueError(f"direction must be x|y|z, got {direction}")
+        perm = list(self._PERM[direction])
+        p0 = pts[0][:, perm]
+        p1 = pts[1][:, perm]
         both = _np.concatenate([p0, p1])
         if xlim is None:
             xlim = (float(_np.floor(both[:, 0].min())),
@@ -171,3 +192,25 @@ class DemOfDifference:
             r = self.report
             f.write(f"{label},{r.added:.3f},{r.removed:.3f},"
                     f"{r.net:.3f},{r.area:.3f},{r.mean_dz:.5f}\n")
+
+    def write_result_row(self, fname, mode: str = "a+",
+                         header: bool = True) -> None:
+        """Reference-schema CSV row (ref cloudcompare_fun.py:178-216):
+        pcd0,pcd1,volume,addedVolume,removedVolume,surface,
+        matchingPercent,averageNeighborsPerCell."""
+        import os
+
+        if self.report is None:
+            self.compute_volume()
+        write_header = header and not (
+            os.path.exists(fname) and mode in ("a", "a+"))
+        with open(fname, mode) as f:
+            if write_header:
+                f.write("pcd0,pcd1,volume,addedVolume,removedVolume,"
+                        "surface,matchingPercent,"
+                        "averageNeighborsPerCell\n")
+            r = self.report
+            f.write(f"{self.names[0]},{self.names[1]},{r.net:.4f},"
+                    f"{r.added:.4f},{r.removed:.4f},{r.area:.4f},"
+                    f"{r.matching_percent:.1f},"
+                    f"{r.avg_neighbors_per_cell:.1f}\n")

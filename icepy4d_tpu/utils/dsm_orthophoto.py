@@ -40,6 +40,7 @@ class DSM:
     xx: np.ndarray       # (W,) cell-center x coords
     yy: np.ndarray       # (H,) cell-center y coords
     res: float
+    count: np.ndarray | None = None  # (H, W) points binned per cell
 
     def cell_xyz(self) -> np.ndarray:
         """(H*W, 3) cell centers with elevations (NaN-safe)."""
@@ -77,7 +78,7 @@ def _grid_points(points: Array, x0: float, y0: float, res: float,
     filled_mask = mask
     if fill_iters > 0:
         z, filled_mask = jax.lax.fori_loop(0, fill_iters, fill, (z, mask))
-    return z, mask, filled_mask
+    return z, mask, filled_mask, cnt[:-1].reshape(h, w)
 
 
 def build_dsm(
@@ -105,7 +106,7 @@ def build_dsm(
                 float(np.ceil(pts[:, 1].max())))
     w = max(int(np.ceil((xlim[1] - xlim[0]) / dsm_step)), 1)
     h = max(int(np.ceil((ylim[1] - ylim[0]) / dsm_step)), 1)
-    z, mask, filled = _grid_points(
+    z, mask, filled, cnt = _grid_points(
         jnp.asarray(points), xlim[0], ylim[0], dsm_step, (h, w),
         fill_iters=fill_iters if fill_holes else 0)
     z = np.asarray(z)
@@ -115,7 +116,8 @@ def build_dsm(
     yy = ylim[0] + (np.arange(h) + 0.5) * dsm_step
     logger.info("DSM %dx%d cells at %.2f m, %.1f%% observed",
                 h, w, dsm_step, 100.0 * np.asarray(mask).mean())
-    return DSM(z=z, mask=mask_out, xx=xx, yy=yy, res=float(dsm_step))
+    return DSM(z=z, mask=mask_out, xx=xx, yy=yy, res=float(dsm_step),
+               count=np.asarray(cnt))
 
 
 def generate_orthophoto(
@@ -154,6 +156,10 @@ class VolumeReport:
     net: float
     area: float
     mean_dz: float
+    # CloudCompare ReportInfoVol parity fields
+    # (ref post_processing/cloudcompare_fun.py:139-147):
+    matching_percent: float = 100.0     # % of observed cells seen by both
+    avg_neighbors_per_cell: float = 0.0  # mean points/cell on common area
 
 
 def dem_of_difference(dsm0: DSM, dsm1: DSM) -> tuple[np.ndarray,
@@ -172,8 +178,20 @@ def dem_of_difference(dsm0: DSM, dsm1: DSM) -> tuple[np.ndarray,
     rem = float(-np.nansum(np.where(dz < 0, dz, 0.0)) * cell)
     area = float(both.sum() * cell)
     mean = float(np.nanmean(dz)) if both.any() else float("nan")
+    match_pct, avg_nbr = 100.0, 0.0
+    if dsm0.count is not None and dsm1.count is not None:
+        obs0 = dsm0.count > 0
+        obs1 = dsm1.count > 0
+        obs_both = obs0 & obs1
+        union = (obs0 | obs1).sum()
+        match_pct = float(100.0 * obs_both.sum() / max(union, 1))
+        if obs_both.any():
+            avg_nbr = float(
+                ((dsm0.count + dsm1.count)[obs_both] / 2.0).mean())
     return dz, VolumeReport(added=add, removed=rem, net=add - rem,
-                            area=area, mean_dz=mean)
+                            area=area, mean_dz=mean,
+                            matching_percent=match_pct,
+                            avg_neighbors_per_cell=avg_nbr)
 
 
 def save_dsm_npz(dsm: DSM, path) -> None:
