@@ -43,6 +43,18 @@ class Targets:
             raise ValueError(f"{path}: expected columns {need}, got {list(df.columns)}")
         return df
 
+    def scale_image_coordinates(self, factor: float) -> None:
+        """Rescale all image coordinates by `factor`.
+
+        Target CSVs are digitized on the ORIGINAL (calibrated-resolution)
+        imagery; when a dataset ships downscaled frames (the sample
+        assets are 1/5 res) the pipeline rescales K — the target image
+        coordinates must follow or triangulated-target AO silently uses
+        coordinates in the wrong frame."""
+        for df in self.im_coor:
+            df["x"] = df["x"] * factor
+            df["y"] = df["y"] * factor
+
     def get_im_coor_by_label(
         self, labels: list[str], cam_id: int
     ) -> tuple[np.ndarray, list[str]]:

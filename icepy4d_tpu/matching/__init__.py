@@ -19,6 +19,7 @@ from icepy4d_tpu.matching.matchers import (  # noqa: F401
     LoFTRMatcher,
     LOFTRMatcher,
     NearestNeighborMatcher,
+    SIFTMatcher,
     SemiDenseMatcher,
     SuperGlueMatcher,
 )

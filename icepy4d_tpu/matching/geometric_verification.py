@@ -44,11 +44,16 @@ def geometric_verification(
     max_iters: int = 10000,
     seed: int = 0,
     quiet: bool = False,
+    scores: "np.ndarray | None" = None,
 ):
     """Estimate F and an inlier mask from matched keypoints.
 
     Args / returns mirror the reference (geometric_verification.py:11-102):
     (mkpts0, mkpts1) -> (F (3,3) float64 | None, inlier mask (N,) bool).
+    `scores` (N,) enables PROSAC-style quality-guided sampling — needed
+    when the putative set is permissive (e.g. SIFT at Lowe ratio 0.95,
+    ~2% inliers), where uniform minimal samples cannot hit an all-inlier
+    draw within any static budget.
     `max_iters` caps the hypothesis count (hypotheses run in parallel on
     device, so unlike the reference the full budget is always spent).
     For MAGSAC, `threshold` plays the role of sigma_max (the reference
@@ -88,11 +93,16 @@ def geometric_verification(
     pk0[:n] = mkpts0
     pk1[:n] = mkpts1
     mask = np.arange(cap) < n
+    guidance = None
+    if scores is not None and len(scores) == n:
+        guidance = np.zeros((cap,), np.float32)
+        guidance[:n] = np.asarray(scores, np.float32)
 
     if method is GeometricVerification.PYDEGENSAC:
         F, inl, degenerate = ransac_fundamental_degensac(
             key, pk0, pk1, mask,
             threshold=float(threshold), n_hypotheses=n_hyp,
+            guidance=guidance,
         )
         if not quiet and bool(degenerate):
             logger.info(
@@ -102,11 +112,13 @@ def geometric_verification(
         F, inl = ransac_fundamental_magsac(
             key, pk0, pk1, mask,
             sigma_max=float(threshold), n_hypotheses=n_hyp,
+            guidance=guidance,
         )
     else:  # JAX_RANSAC: plain fixed-threshold Sampson RANSAC
         F, inl = ransac_fundamental(
             key, pk0, pk1, mask,
             threshold=float(threshold), n_hypotheses=n_hyp,
+            guidance=guidance,
         )
     F = np.asarray(F, np.float64)
     inl = np.asarray(inl, bool)[:n]

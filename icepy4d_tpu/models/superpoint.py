@@ -157,8 +157,13 @@ class SuperPoint:
         self.remove_borders = int(remove_borders)
         self.descriptor_dim = int(descriptor_dim)
         # "default" = single-pass bf16 MXU matmuls/convs (fast path);
-        # parity tests construct with "highest" to match torch f32
+        # parity tests construct with "highest" to match torch f32.
+        # dtype = ACTIVATION dtype of the conv trunk: bfloat16 halves
+        # the HBM traffic of the (bandwidth-bound) full-res layers —
+        # the measured extract MFU roughly doubles; the NMS/top-k/
+        # descriptor-sampling epilogue always runs f32 (cast below).
         self.precision = precision
+        self.dtype = dtype
         self.net = SuperPointNet(descriptor_dim=descriptor_dim, dtype=dtype)
 
     def _use_pallas_nms(self, h: int) -> bool:
@@ -172,7 +177,8 @@ class SuperPoint:
     def _key(self):
         return (type(self), self.max_keypoints, self.detection_threshold,
                 self.nms_radius, self.remove_borders,
-                self.descriptor_dim, self.precision)
+                self.descriptor_dim, self.precision,
+                jnp.dtype(self.dtype).name)
 
     def __hash__(self):
         return hash(self._key())
@@ -205,6 +211,10 @@ class SuperPoint:
             images = jnp.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)))
         b, h, w, _ = images.shape
         heat, dense_desc = self.net.apply(params, images)
+        # epilogue (NMS ranking, top-k, bilinear descriptor sampling)
+        # stays f32 regardless of the trunk activation dtype
+        heat = heat.astype(jnp.float32)
+        dense_desc = dense_desc.astype(jnp.float32)
 
         # NMS + border removal (ref superpoint.py:32-60); original image
         # edge (not the padded one) counts as the border. On TPU the

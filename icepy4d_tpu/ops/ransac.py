@@ -28,18 +28,49 @@ Array = jax.Array
 
 
 def sample_minimal_sets(
-    key: Array, mask: Array, n_hypotheses: int, sample_size: int
+    key: Array, mask: Array, n_hypotheses: int, sample_size: int,
+    guidance: Array | None = None,
 ) -> Array:
     """(H, S) index sets drawn from valid rows, without replacement.
 
     Gumbel-top-k trick: add iid Gumbel noise to log-mask and take the
     top-S per hypothesis — fully batched, no per-hypothesis permutation.
+
+    `guidance` (N,) are match-quality scores (higher = better). When
+    given, sampling is PROSAC-style quality-guided: rows are weighted
+    exp(-rank / tau) with tau ~ 2% of the valid count, so minimal
+    samples concentrate on the most confident correspondences (with a
+    soft tail) instead of uniform draws. This is what makes 1-2%%
+    inlier regimes (wide-baseline SIFT at a permissive Lowe ratio)
+    solvable with a static hypothesis budget: the top of the quality
+    ranking is ~30-60%% inliers even when the full set is ~2%%.
     """
     n = mask.shape[0]
     logits = jnp.where(mask, 0.0, -jnp.inf)
+    if guidance is not None:
+        w = rank_weights(mask, guidance)
+        logits = logits + jnp.log(jnp.maximum(w, 1e-30))
     g = jax.random.gumbel(key, (n_hypotheses, n))
     _, idx = jax.lax.top_k(logits[None, :] + g, sample_size)
     return idx
+
+
+def rank_weights(mask: Array, guidance: Array) -> Array:
+    """exp(-rank / tau) quality weights, tau ~ 2% of the valid count.
+
+    Used both to bias minimal-sample draws (PROSAC) and to score
+    consensus sets: with ~100 true inliers in ~6000 putatives, a bogus
+    model catches as many CHANCE inliers as the true model catches real
+    ones — raw counts tie. True inliers concentrate at the top of the
+    quality ranking (top-2%% is 30-60%% inliers), chance inliers are
+    rank-uniform, so the weighted sums differ by an order of magnitude.
+    """
+    n = mask.shape[0]
+    order = jnp.argsort(jnp.where(mask, -guidance, jnp.inf))
+    rank = jnp.zeros((n,), jnp.float32).at[order].set(
+        jnp.arange(n, dtype=jnp.float32))
+    tau = jnp.maximum(32.0, 0.02 * jnp.sum(mask))
+    return jnp.exp(-rank / tau) * mask
 
 
 def _one_hot_weights(idx: Array, n: int) -> Array:
@@ -56,6 +87,7 @@ def ransac(
     sample_size: int,
     n_hypotheses: int,
     threshold: float,
+    guidance: Array | None = None,
 ) -> tuple[Array, Array, Array]:
     """Generic engine: returns (best_model, inlier_mask, n_inliers).
 
@@ -63,12 +95,21 @@ def ransac(
     residual(model) -> (N,) squared residuals in threshold units.
     """
     n = mask.shape[0]
-    idx = sample_minimal_sets(key, mask, n_hypotheses, sample_size)
+    idx = sample_minimal_sets(key, mask, n_hypotheses, sample_size,
+                              guidance)
     weights = jax.vmap(_one_hot_weights, in_axes=(0, None))(idx, n)  # (H, N)
     models = jax.vmap(solver)(weights)  # pytree with leading H
     res = jax.vmap(residual)(models)  # (H, N)
     inl = (res < threshold**2) & mask[None, :]
-    scores = jnp.sum(inl.astype(jnp.int32), axis=1)
+    if guidance is not None:
+        # blended consensus (see rank_weights): pure counts cannot
+        # separate true from chance support in low-inlier-rate regimes,
+        # pure quality mass rewards tiny top-ranked sets — the 0.1/row
+        # count term breaks both failure modes
+        w = 0.1 + rank_weights(mask, guidance)
+        scores = jnp.sum(jnp.where(inl, w[None, :], 0.0), axis=1)
+    else:
+        scores = jnp.sum(inl.astype(jnp.int32), axis=1).astype(jnp.float32)
     best = jnp.argmax(scores)
     best_model = jax.tree.map(lambda a: a[best], models)
     return best_model, inl[best], scores[best]
@@ -87,6 +128,7 @@ def ransac_fundamental(
     threshold: float = 1.5,
     n_hypotheses: int = 512,
     refit_iters: int = 2,
+    guidance: Array | None = None,
 ) -> tuple[Array, Array]:
     """F-matrix RANSAC with Sampson scoring + iterated inlier refit.
 
@@ -100,16 +142,31 @@ def ransac_fundamental(
     F, inliers, _ = ransac(
         key, solver, residual, mask,
         sample_size=8, n_hypotheses=n_hypotheses, threshold=threshold,
+        guidance=guidance,
     )
 
-    def refit(_, carry):
-        F, inl = carry
-        F = epipolar.eight_point(x0, x1, inl.astype(jnp.float32))
-        d = epipolar.sampson_distance(F, x0, x1)
-        return F, (d < threshold**2) & mask
+    # refit weights: with guidance the hard-threshold consensus still
+    # contains rank-uniform CHANCE inliers — quality-weight the refit so
+    # they cannot drag the model (floor 0.1 keeps deep-rank true
+    # inliers contributing). Refits are candidates accepted by hard
+    # inlier count (a weighted refit may shrink to the weight mass).
+    rw = (None if guidance is None
+          else 0.1 + rank_weights(mask, guidance))
 
-    F, inliers = jax.lax.fori_loop(0, refit_iters, refit, (F, inliers))
-    return F, inliers
+    sel_w = (jnp.ones_like(mask, jnp.float32) if rw is None else rw)
+    cand_F, cand_inl = [F], [inliers]
+    Fc, inlc = F, inliers
+    for _ in range(max(refit_iters, 1)):
+        w = inlc.astype(jnp.float32) if rw is None else inlc * rw
+        Fc = epipolar.eight_point(x0, x1, w)
+        d = epipolar.sampson_distance(Fc, x0, x1)
+        inlc = (d < threshold**2) & mask
+        cand_F.append(Fc)
+        cand_inl.append(inlc)
+    scores_c = jnp.stack(
+        [jnp.sum(jnp.where(i, sel_w, 0.0)) for i in cand_inl])
+    bi = jnp.argmax(scores_c + 1e-3 * jnp.arange(len(cand_inl)))
+    return jnp.stack(cand_F)[bi], jnp.stack(cand_inl)[bi]
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +214,7 @@ def ransac_fundamental_degensac(
     h_hypotheses: int = 256,
     degeneracy_frac: float = 0.8,
     refit_iters: int = 2,
+    guidance: Array | None = None,
 ) -> tuple[Array, Array, Array]:
     """F-matrix RANSAC with DEGENSAC plane-degeneracy handling.
 
@@ -177,7 +235,8 @@ def ransac_fundamental_degensac(
     """
     kF, kH = jax.random.split(key)
     F, inlF = ransac_fundamental(
-        kF, x0, x1, mask, threshold, n_hypotheses, refit_iters)
+        kF, x0, x1, mask, threshold, n_hypotheses, refit_iters,
+        guidance=guidance)
     nF = jnp.sum(inlF)
 
     # Symmetric transfer error sums FOUR noisy coordinates (two points,
@@ -281,6 +340,7 @@ def ransac_fundamental_magsac(
     sigma_max: float = 2.0,
     n_hypotheses: int = 512,
     polish_iters: int = 3,
+    guidance: Array | None = None,
 ) -> tuple[Array, Array]:
     """F-matrix RANSAC with sigma-consensus scoring (MAGSAC semantics).
 
@@ -299,20 +359,22 @@ def ransac_fundamental_magsac(
     r < sigma_max for downstream consumers that need a hard set.
     """
     n = mask.shape[0]
-    idx = sample_minimal_sets(key, mask, n_hypotheses, 8)
+    idx = sample_minimal_sets(key, mask, n_hypotheses, 8, guidance)
     weights = jax.vmap(_one_hot_weights, in_axes=(0, None))(idx, n)
     solver = lambda w: epipolar.eight_point(x0, x1, w)
     models = jax.vmap(solver)(weights)
     res = jax.vmap(lambda F: epipolar.sampson_distance(F, x0, x1))(models)
     r = jnp.sqrt(jnp.maximum(res, 0.0))
-    q = jnp.sum(jnp.maximum(0.0, 1.0 - r / sigma_max) * mask[None, :], 1)
+    qw = (mask.astype(jnp.float32) if guidance is None
+          else (0.1 + rank_weights(mask, guidance)) * mask)
+    q = jnp.sum(jnp.maximum(0.0, 1.0 - r / sigma_max) * qw[None, :], 1)
     best = jnp.argmax(q)
     F = models[best]
 
     def polish(_, F):
         d = jnp.sqrt(jnp.maximum(
             epipolar.sampson_distance(F, x0, x1), 0.0))
-        w = jnp.maximum(0.0, 1.0 - d / sigma_max) * mask
+        w = jnp.maximum(0.0, 1.0 - d / sigma_max) * qw
         return epipolar.eight_point(x0, x1, w)
 
     F = jax.lax.fori_loop(0, polish_iters, polish, F)
@@ -335,6 +397,8 @@ def ransac_essential_pose(
     mask: Array,
     threshold_px: float = 1.0,
     n_hypotheses: int = 512,
+    guidance: Array | None = None,
+    F_hint: Array | None = None,
 ) -> tuple[Array, Array, Array, Array]:
     """Essential-matrix RANSAC + cheirality pose recovery.
 
@@ -343,6 +407,15 @@ def ransac_essential_pose(
     in normalized units against the same scaled threshold. Returns
     (R, t, E, inlier_mask): R, t transform cam0-frame points to
     cam1-frame (x1 = R @ x0 + t), t unit-norm.
+
+    `F_hint` (3, 3): a fundamental matrix already verified upstream
+    (the matcher's GV output). K1^T F K0 projected onto the essential
+    manifold enters the hypothesis pool — on contaminated consensus
+    sets (chance inliers of a permissive putative stage) the 8-point
+    minimal samples alone are unreliable, while the GV model was
+    estimated against the FULL quality-ranked putative set.
+    `guidance` (N,) quality-weights sampling, scoring and the refit
+    (see rank_weights).
     """
     f_mean = (K0[0, 0] + K0[1, 1] + K1[0, 0] + K1[1, 1]) / 4.0
     th_n = threshold_px / f_mean
@@ -356,16 +429,51 @@ def ransac_essential_pose(
     x0n = norm(x0, K0)
     x1n = norm(x1, K1)
 
-    solver = lambda w: epipolar.essential_eight_point(x0n, x1n, w)
-    residual = lambda E: epipolar.sampson_distance(E, x0n, x1n)
-    E, inliers, _ = ransac(
-        key, solver, residual, mask,
-        sample_size=8, n_hypotheses=n_hypotheses, threshold=th_n,
-    )
-    # Refit on consensus and re-score once.
-    E = epipolar.essential_eight_point(x0n, x1n, inliers.astype(jnp.float32))
-    d = epipolar.sampson_distance(E, x0n, x1n)
-    inliers = (d < th_n**2) & mask
+    n = mask.shape[0]
+    idx = sample_minimal_sets(key, mask, n_hypotheses, 8, guidance)
+    weights = jax.vmap(_one_hot_weights, in_axes=(0, None))(idx, n)
+    models = jax.vmap(
+        lambda w: epipolar.essential_eight_point(x0n, x1n, w))(weights)
+    if F_hint is not None:
+        # x1^T F x0 = 0 with pixel coords  =>  E ~ K1^T F K0 in
+        # normalized coords; project onto the essential manifold
+        Eh = K1.T @ F_hint @ K0
+        U, _s, Vt = jnp.linalg.svd(Eh)
+        Eh = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0])) @ Vt
+        models = jnp.concatenate([models, Eh[None]], axis=0)
+    res = jax.vmap(
+        lambda E: epipolar.sampson_distance(E, x0n, x1n))(models)
+    inl_all = (res < th_n ** 2) & mask[None, :]
+    qw = (mask.astype(jnp.float32) if guidance is None
+          else (0.1 + rank_weights(mask, guidance)) * mask)
+    scores = jnp.sum(jnp.where(inl_all, qw[None, :], 0.0), axis=1)
+    best = jnp.argmax(scores)
+    E = models[best]
+    inliers = inl_all[best]
+
+    # weighted refits are CANDIDATES, not replacements. Selection among
+    # HYPOTHESES used the quality-weighted score (contamination-robust);
+    # refit ACCEPTANCE uses the hard inlier count — a weighted refit
+    # that shrinks the consensus to the few top-ranked rows (weight
+    # mass without support) must not win.
+    rw = (mask.astype(jnp.float32) if guidance is None
+          else (0.1 + rank_weights(mask, guidance)))
+    cand_E = [E]
+    cand_inl = [inliers]
+    Ec, inlc = E, inliers
+    for _ in range(2):
+        Ec = epipolar.essential_eight_point(x0n, x1n, inlc * rw)
+        d = epipolar.sampson_distance(Ec, x0n, x1n)
+        inlc = (d < th_n ** 2) & mask
+        cand_E.append(Ec)
+        cand_inl.append(inlc)
+    scores_c = jnp.stack(
+        [jnp.sum(jnp.where(i, qw, 0.0)) for i in cand_inl])
+    # epsilon bonus prefers the (least-squares, lower-noise) refits on
+    # score ties
+    bi = jnp.argmax(scores_c + 1e-3 * jnp.arange(len(cand_inl)))
+    E = jnp.stack(cand_E)[bi]
+    inliers = jnp.stack(cand_inl)[bi]
     R, t, front = epipolar.recover_pose(E, x0n, x1n, inliers.astype(jnp.float32))
     return R, t, E, inliers & front
 

@@ -28,6 +28,7 @@ from icepy4d_tpu.io.export2textfile import (write_cameras_to_file,
                                             write_reprojection_error_to_file)
 from icepy4d_tpu.matching import (GeometricVerification, LightGlueMatcher,
                                   LoFTRMatcher, NearestNeighborMatcher,
+                                  SIFTMatcher,
                                   Quality, SemiDenseMatcher,
                                   SuperGlueMatcher, TileSelection,
                                   track_matches)
@@ -45,6 +46,7 @@ MATCHERS = {
     "loftr": LoFTRMatcher,
     "semidense": SemiDenseMatcher,
     "nn": NearestNeighborMatcher,
+    "sift": SIFTMatcher,
 }
 
 
@@ -124,12 +126,15 @@ class Pipeline:
             cam = cal.to_camera()
             if cam.width and cam.width != w:
                 s = w / cam.width
+                self._calib_scale = s
                 K = np.asarray(cam.K) * s
                 K[2, 2] = 1.0
                 cam = Camera.create(width=w, height=h, K=K,
                                     dist=np.asarray(cam.dist))
                 logger.info("scaled %s intrinsics by %.4f to image size",
                             c, s)
+            else:
+                self._calib_scale = 1.0
             cams[c] = cam
         return cams
 
@@ -153,6 +158,11 @@ class Pipeline:
         im0 = images[self.cams[0]].value
         cameras = self._load_calibrations(im0.shape)
         targets = self._load_targets(images)
+        if targets is not None and self._calib_scale != 1.0:
+            # target CSVs are digitized on the ORIGINAL imagery; follow
+            # the K rescale or target triangulation/AO uses the wrong
+            # pixel frame on downscaled datasets
+            targets.scale_image_coordinates(self._calib_scale)
         ts = self.epoch_map.get_timestamp(ep)
         return Epoch(
             timestamp=ts,
@@ -164,6 +174,45 @@ class Pipeline:
             epoch_dir=self.results_dir / "epochs" /
             ts.strftime("%Y-%m-%d_%H-%M-%S"),
         )
+
+    def _gcp_prior(self, epoch: Epoch):
+        """A-priori pair geometry from surveyed data, when available.
+
+        Fixed monitoring stations know their camera CENTERS
+        (georef.camera_centers_world) and see surveyed targets every
+        epoch — that pins each camera's full pose (bearing resection,
+        sfm.pose_from_known_center) and hence the pair's F, BEFORE any
+        matching. The F then guides epipolar-constrained rematching and
+        seeds the essential RANSAC (the wide-baseline pair is otherwise
+        a 1-2% inlier problem). Returns (cameras dict, F) or None.
+        Disable with proc.use_gcp_prior: false.
+        """
+        if not bool(self.cfg.get("proc", DotDict()).get(
+                "use_gcp_prior", True)):
+            return None
+        g = self.cfg.get("georef", DotDict())
+        centers = g.get("camera_centers_world", None)
+        if epoch.targets is None or centers is None:
+            return None
+        from icepy4d_tpu.sfm import (fundamental_from_cameras,
+                                     pose_from_known_center)
+
+        world_df = epoch.targets.obj_coor
+        if world_df is None:
+            return None
+        labels = list(world_df["label"])
+        t_world, found = epoch.targets.get_object_coor_by_label(labels)
+        cams = {}
+        for i, c in enumerate(self.cams):
+            xy, f2 = epoch.targets.get_image_coor_by_label(found, i)
+            if len(f2) < 2:
+                return None
+            w_sel = t_world[[found.index(l) for l in f2]]
+            cams[c] = pose_from_known_center(
+                epoch.cameras[c], np.asarray(centers[i]), xy, w_sel)
+        F = fundamental_from_cameras(cams[self.cams[0]],
+                                     cams[self.cams[1]])
+        return cams, F
 
     def _match_epoch(self, epoch: Epoch, prev: Epoch | None) -> bool:
         cfg = self.cfg.get("matching", DotDict())
@@ -199,6 +248,8 @@ class Pipeline:
         gv = GeometricVerification[str(cfg.get(
             "geometric_verification", "pydegensac")).upper()]
         do_viz = bool(self.cfg.get("other", {}).get("do_viz", False))
+        prior = self._gcp_prior(epoch)
+        self._epoch_prior = prior
         self.matcher.match(
             dev0, dev1,
             quality=quality,
@@ -211,9 +262,13 @@ class Pipeline:
             geometric_verification=gv,
             do_viz_matches=do_viz,
             save_dir=(str(epoch.epoch_dir) if do_viz else None),
+            F_prior=(prior[1] if prior is not None else None),
         )
         mk0, mk1 = self.matcher.mkpts0, self.matcher.mkpts1
         gates = self.cfg.get("quality_gates", DotDict())
+        inl = self.matcher.inlier_mask
+        epoch.quality["stats"]["n_putative"] = (
+            len(inl) if inl is not None else len(mk0))
         epoch.quality["stats"]["n_matches"] = len(mk0)
         if len(mk0) < 8:
             logger.warning("epoch %s: only %d matches", epoch.date_str,
@@ -264,10 +319,23 @@ class Pipeline:
             - np.asarray(centers[1], np.float64)))
             if centers is not None else None)
         rel = RelativeOrientation(cams, kpts)
+        # seed the essential search: the GCP-resected pair geometry
+        # when available (surveyed truth), else the matcher's verified
+        # F — on wide-baseline SIFT sets the GV consensus still carries
+        # rank-uniform chance inliers and minimal 8-point samples alone
+        # pick wrong models. Match confidences weight sampling/scoring.
+        prior = getattr(self, "_epoch_prior", None)
+        F_hint = (prior[1] if prior is not None
+                  else getattr(self.matcher, "F", None))
+        mconf = getattr(self.matcher, "mconf", None)
+        scores = (np.asarray(mconf)[:n]
+                  if mconf is not None and len(mconf) >= n else None)
         valid = rel.estimate_pose(
             threshold=float(self.cfg.get("other", {}).get(
                 "pydegensac_threshold", 1.0)),
-            scale_factor=baseline)
+            scale_factor=baseline,
+            scores=scores,
+            F_hint=F_hint)
         epoch.cameras[self.cams[1]] = rel.cameras[1]
         valid = np.asarray(valid, bool)
         n_inl = int(valid.sum())
@@ -281,6 +349,33 @@ class Pipeline:
 
         tri = Triangulate([epoch.cameras[c] for c in self.cams], kpts)
         pts3d = tri.triangulate_two_views()
+
+        # reprojection sanity filter: the orientation consensus still
+        # carries chance inliers (rank-uniform survivors of a permissive
+        # putative stage); a point whose triangulation does not reproject
+        # into BOTH views is one of them — drop it before AO/BA instead
+        # of asking the (least-squares) BA to absorb 100+ px outliers
+        from icepy4d_tpu.sfm.geometry import project_points
+
+        th = 2.0 * float(self.cfg.get("other", {}).get(
+            "pydegensac_threshold", 1.0))
+        keep = np.isfinite(pts3d).all(axis=1)
+        for i, c in enumerate(self.cams):
+            proj = project_points(pts3d, epoch.cameras[c])
+            err = np.linalg.norm(proj - kpts[i], axis=1)
+            keep &= np.isfinite(err) & (err < th)
+            # in front of the camera
+            E = np.asarray(epoch.cameras[c].extrinsics)
+            z = pts3d @ E[2, :3] + E[2, 3]
+            keep &= z > 0
+        if not keep.all():
+            logger.info("reprojection filter: %d / %d triangulated "
+                        "points kept", int(keep.sum()), len(keep))
+            for c in self.cams:
+                epoch.features[c].filter_feature_by_mask(keep)
+            kpts = [k[keep] for k in kpts]
+            pts3d = pts3d[keep]
+        epoch.quality["stats"]["n_triangulated"] = len(pts3d)
 
         # absolute orientation on targets (do_coregistration)
         if epoch.targets is not None and centers is not None:
@@ -338,10 +433,15 @@ class Pipeline:
             camera_center_sigma_m=float(
                 ba_cfg.get("camera_location_accuracy", 0.5)),
             fit_f=bool(ba_cfg.get("fit_f", True)),
-            robust_delta=(float(ba_cfg["robust_delta"])
-                          if ba_cfg.get("robust_delta") is not None
-                          else None),
+            # Huber by default: post-GV tie points can still be ~50%
+            # chance matches on wide-baseline imagery; plain LS lets
+            # them drag the cameras (ref Metashape uses robust
+            # reweighting internally as well). robust_delta: null in
+            # the config restores plain least squares.
+            robust_delta=(lambda rd: None if rd is None else float(rd))(
+                ba_cfg.get("robust_delta", 2.0)),
             max_iters=int(ba_cfg.get("max_iters", 60)),
+            min_points=int(ba_cfg.get("min_points", 10)),
         )
         ba = BundleAdjustment(
             {c: epoch.cameras[c] for c in self.cams}, obs, pts3d,

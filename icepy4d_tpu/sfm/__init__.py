@@ -8,6 +8,7 @@ icepy4d_tpu.ops instead of sequential OpenCV/pydegensac/lmfit calls.
 
 from icepy4d_tpu.sfm.geometry import (  # noqa: F401
     estimate_pose,
+    fundamental_from_cameras,
     project_points,
     undistort_points,
 )
@@ -18,6 +19,7 @@ from icepy4d_tpu.sfm.absolute_orientation import (  # noqa: F401
     Absolute_orientation,
     SpaceResection,
     Space_resection,
+    pose_from_known_center,
 )
 from icepy4d_tpu.sfm.bundle import (  # noqa: F401
     BAConfig,

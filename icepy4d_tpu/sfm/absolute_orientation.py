@@ -222,3 +222,47 @@ class AbsoluteOrientation:
 # Reference-spelling aliases (ref sfm/__init__.py:2-4).
 Absolute_orientation = AbsoluteOrientation
 Space_resection = SpaceResection
+
+
+def pose_from_known_center(
+    camera: Camera,
+    center: np.ndarray,
+    image_points: np.ndarray,
+    object_points: np.ndarray,
+) -> Camera:
+    """Camera pose from >= 2 GCP bearings when the camera CENTER is
+    surveyed (the standard fixed-monitoring-station setup: config
+    georef.camera_centers_world + per-epoch targets).
+
+    With C known only the 3-DOF rotation remains: undistorted GCP
+    observations give bearing vectors in the camera frame, the world
+    directions (X - C) give them in the world frame, and the rotation
+    is the Kabsch/Procrustes alignment of the two bundles — exact for
+    2+ non-collinear GCPs, least-squares for more. Far more robust than
+    PnP minimal solvers on the 3-4 clustered GCPs a glacier site
+    typically has (cf ref do_space_resection, main_dev.py + cv2
+    solvePnPRansac, sfm/absolute_orientation.py:18-50).
+    """
+    center = np.asarray(center, np.float64).reshape(3)
+    p2 = np.asarray(image_points, np.float64).reshape(-1, 2)
+    X = np.asarray(object_points, np.float64).reshape(-1, 3)
+    und = np.asarray(camera.undistort_points(
+        np.asarray(p2, np.float32)), np.float64).reshape(-1, 2)
+    K = np.asarray(camera.K, np.float64)
+    xn = (und - [K[0, 2], K[1, 2]]) / [K[0, 0], K[1, 1]]
+    b_cam = np.concatenate([xn, np.ones((len(xn), 1))], axis=1)
+    b_cam /= np.linalg.norm(b_cam, axis=1, keepdims=True)
+    b_w = X - center
+    b_w /= np.linalg.norm(b_w, axis=1, keepdims=True)
+    # R minimizing sum ||b_cam - R b_w||^2 (world -> camera)
+    M = b_cam.T @ b_w
+    U, _s, Vt = np.linalg.svd(M)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+    R = U @ D @ Vt
+    E = np.eye(4)
+    E[:3, :3] = R
+    E[:3, 3] = -R @ center
+    return Camera.create(width=camera.width, height=camera.height,
+                         K=np.asarray(camera.K),
+                         dist=np.asarray(camera.dist),
+                         extrinsics=E.astype(np.float32))

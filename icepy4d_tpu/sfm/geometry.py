@@ -27,6 +27,8 @@ def estimate_pose(
     conf: float = 0.9999,
     n_hypotheses: int = 1024,
     seed: int = 0,
+    scores: np.ndarray | None = None,
+    F_hint: np.ndarray | None = None,
 ):
     """Relative pose from matched keypoints.
 
@@ -35,6 +37,11 @@ def estimate_pose(
     for signature parity; the hypothesis count plays its role (all
     hypotheses are evaluated in parallel on device, so we always run the
     full budget rather than early-terminating).
+
+    `scores` enables quality-guided sampling/scoring; `F_hint` seeds the
+    hypothesis pool with the matcher's verified F (see
+    ops/ransac.py::ransac_essential_pose) — both are what make wide-
+    baseline SIFT sets (many chance inliers) solvable.
     """
     kpts0 = np.asarray(kpts0, np.float32).reshape(-1, 2)
     kpts1 = np.asarray(kpts1, np.float32).reshape(-1, 2)
@@ -49,6 +56,11 @@ def estimate_pose(
     pk0[:n] = kpts0
     pk1[:n] = kpts1
     mask = jnp.asarray(np.arange(cap) < n)
+    guidance = None
+    if scores is not None and len(scores) == n:
+        g = np.zeros((cap,), np.float32)
+        g[:n] = np.asarray(scores, np.float32)
+        guidance = jnp.asarray(g)
     key = jax.random.PRNGKey(seed)
     R, t, _E, inliers = ransac_ops.ransac_essential_pose(
         key,
@@ -59,6 +71,9 @@ def estimate_pose(
         mask,
         threshold_px=float(thresh),
         n_hypotheses=n_hypotheses,
+        guidance=guidance,
+        F_hint=(None if F_hint is None
+                else jnp.asarray(F_hint, jnp.float32)),
     )
     return (np.asarray(R), np.asarray(t).reshape(3, 1),
             np.asarray(inliers)[:n])
@@ -76,3 +91,21 @@ def undistort_points(points_2d, camera):
     """Remove distortion, keeping K as projection (ref sfm/geometry.py:106-133)."""
     pts = jnp.asarray(points_2d, jnp.float32).reshape(-1, 2)
     return np.asarray(geom.undistort_points(pts, camera.K, camera.dist))
+
+
+def fundamental_from_cameras(cam0, cam1) -> np.ndarray:
+    """F of an ORIENTED camera pair: x1^T F x0 = 0 for undistorted
+    pixel observations. Used to guide epipolar-constrained rematching
+    when the pair geometry is known a priori (GCP-resected poses)."""
+    E0 = np.asarray(cam0.extrinsics, np.float64)
+    E1 = np.asarray(cam1.extrinsics, np.float64)
+    R = E1[:3, :3] @ E0[:3, :3].T
+    t = E1[:3, 3] - R @ E0[:3, 3]
+    tx = np.array([[0.0, -t[2], t[1]],
+                   [t[2], 0.0, -t[0]],
+                   [-t[1], t[0], 0.0]])
+    Ess = tx @ R
+    K0 = np.asarray(cam0.K, np.float64)
+    K1 = np.asarray(cam1.K, np.float64)
+    F = np.linalg.inv(K1).T @ Ess @ np.linalg.inv(K0)
+    return F / max(abs(F).max(), 1e-12)

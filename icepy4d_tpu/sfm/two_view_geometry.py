@@ -30,6 +30,8 @@ class RelativeOrientation:
         threshold: float = 1.0,
         confidence: float = 0.9999,
         scale_factor: float | None = None,
+        scores: np.ndarray | None = None,
+        F_hint: np.ndarray | None = None,
     ) -> np.ndarray:
         """Estimate relative pose, update cameras[1] in place (list slot).
 
@@ -47,6 +49,8 @@ class RelativeOrientation:
             np.asarray(self.cameras[1].K),
             thresh=threshold,
             conf=confidence,
+            scores=scores,
+            F_hint=F_hint,
         )
         if out is None:
             raise ValueError("Not enough correspondences (<5) for relative pose")

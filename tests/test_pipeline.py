@@ -307,7 +307,7 @@ def test_matchers_registry_all_construct():
     from icepy4d_tpu.pipeline import MATCHERS
 
     assert set(MATCHERS) == {"lightglue", "superglue", "loftr",
-                             "semidense", "nn"}
+                             "semidense", "nn", "sift"}
     for name, cls in MATCHERS.items():
         m = cls({"max_keypoints": 64})
         assert hasattr(m, "match"), name
