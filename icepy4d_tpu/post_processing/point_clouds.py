@@ -87,30 +87,44 @@ def meshing_poisson(
     depth: int = 9,
     density_quantile: float = 0.02,
     out_path=None,
+    use_open3d: bool = False,
 ):
-    """Poisson surface reconstruction via open3d when available
-    (ref open3d_fun.py:200-341 MeshingPoisson); raises otherwise —
-    use mesh_from_dsm_grid for the self-contained 2.5-D path."""
-    try:
+    """Poisson surface reconstruction (ref open3d_fun.py:200-341
+    MeshingPoisson).
+
+    Default: the NATIVE screened-Poisson pipeline (poisson.py — FFT
+    solve on device + marching tetrahedra), returning (verts, faces).
+    `use_open3d=True` reproduces the reference's open3d call when that
+    package is installed (it returns the open3d mesh object)."""
+    if use_open3d:
         import open3d as o3d
-    except ImportError as e:
-        raise ImportError(
-            "open3d not available: use mesh_from_dsm_grid for 2.5-D "
-            "meshing") from e
-    pcd = o3d.geometry.PointCloud(
-        o3d.utility.Vector3dVector(np.asarray(points, np.float64)))
-    if colors is not None:
-        pcd.colors = o3d.utility.Vector3dVector(
-            np.asarray(colors, np.float64))
-    pcd.estimate_normals()
-    mesh, dens = o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(
-        pcd, depth=depth)
-    keep = np.asarray(dens) > np.quantile(np.asarray(dens),
-                                          density_quantile)
-    mesh.remove_vertices_by_mask(~keep)
+
+        pcd = o3d.geometry.PointCloud(
+            o3d.utility.Vector3dVector(np.asarray(points, np.float64)))
+        if colors is not None:
+            pcd.colors = o3d.utility.Vector3dVector(
+                np.asarray(colors, np.float64))
+        pcd.estimate_normals()
+        mesh, dens = (o3d.geometry.TriangleMesh
+                      .create_from_point_cloud_poisson(pcd, depth=depth))
+        keep = np.asarray(dens) > np.quantile(np.asarray(dens),
+                                              density_quantile)
+        mesh.remove_vertices_by_mask(~keep)
+        if out_path is not None:
+            o3d.io.write_triangle_mesh(str(out_path), mesh)
+        return mesh
+
+    from icepy4d_tpu.post_processing.poisson import poisson_reconstruct
+
+    # the reference's octree depth 9 maps to a 512^3 grid — overkill
+    # for typical glacier clouds; the uniform grid cost is D^3 so cap
+    # sensibly while keeping the argument meaning
+    verts, faces, _dens = poisson_reconstruct(
+        points, depth=min(int(depth), 8),
+        density_quantile=density_quantile)
     if out_path is not None:
-        o3d.io.write_triangle_mesh(str(out_path), mesh)
-    return mesh
+        write_mesh_ply(out_path, verts, faces)
+    return verts, faces
 
 
 def write_mesh_ply(path, verts: np.ndarray, faces: np.ndarray) -> None:
