@@ -119,9 +119,15 @@ class ImageMatcherBase:
         if "superpoint_params" in opt:
             return opt["superpoint_params"]
         if "superpoint_weights" in opt:
+            path = str(opt["superpoint_weights"])
+            if path.endswith(".npz"):
+                # self-trained checkpoint (scripts/train_superpoint.py)
+                from icepy4d_tpu.models.convert import load_params
+
+                return jax.tree.map(jnp.asarray, load_params(path))
             from icepy4d_tpu.models.convert import load_torch_superpoint
 
-            return load_torch_superpoint(opt["superpoint_weights"])
+            return load_torch_superpoint(path)
         logger.warning("SuperPoint: no checkpoint given — random weights")
         return self._superpoint(self._max_keypoints).init(rng)
 
@@ -699,10 +705,18 @@ class LightGlueMatcher(ImageMatcherBase):
         if "matcher_params" in opt:
             self._matcher_params = opt["matcher_params"]
         elif "lightglue_weights" in opt:
-            from icepy4d_tpu.models.convert import load_torch_lightglue
+            path = str(opt["lightglue_weights"])
+            if path.endswith(".npz"):
+                # self-trained checkpoint (scripts/train_lightglue.py)
+                from icepy4d_tpu.models.convert import load_params
 
-            self._matcher_params = load_torch_lightglue(
-                opt["lightglue_weights"], n_layers=self.matcher.n_layers)
+                self._matcher_params = jax.tree.map(
+                    jnp.asarray, load_params(path))
+            else:
+                from icepy4d_tpu.models.convert import load_torch_lightglue
+
+                self._matcher_params = load_torch_lightglue(
+                    path, n_layers=self.matcher.n_layers)
         else:
             logger.warning(
                 "LightGlueMatcher: no checkpoint given — random weights")

@@ -1,0 +1,407 @@
+"""Self-training LightGlue on homography-supervised correspondences.
+
+The official LightGlue checkpoint is unavailable offline, so the
+matcher head is trained here the way the original was bootstrapped
+(Lindenberger et al. 2023 §4.1 "pre-training with homographies";
+supervision construction mirrors ref
+thirdparty/LightGlue/lightglue/lightglue.py:309-585's assignment
+semantics): pairs are real glacier frames (plus synthetic-geometry
+canvases) warped by random homographies, keypoints + descriptors come
+from the self-trained SuperPoint (training/superpoint_train.py,
+weights/superpoint_synthetic.npz), and the ground-truth assignment is
+the mutual-nearest reprojection under the known homography.
+
+Losses (paper eq. 10):
+  - per-layer deep supervision: every layer's assignment head is
+    pushed toward the GT assignment (matched pairs -> their cell of
+    the log-assignment matrix; unmatchable points -> the dustbin
+    row/col, which under sigmoid_log_double_softmax is
+    log(1 - matchability));
+  - confidence heads: binary CE against "does this layer already
+    agree with the final layer" (paper §3.3) — the signal that makes
+    adaptive depth (models/lightglue.py::match_adaptive) meaningful
+    with self-trained weights. Features feeding the confidence heads
+    are stop_gradient-ed so this auxiliary loss cannot corrupt the
+    matcher representation.
+
+TPU-idiomatic loop (same shape as superpoint_train.py): the whole
+cached dataset is device-resident, `lax.scan` runs many optimizer
+steps per dispatch (a remote-tunnel round trip costs ~1 s), all
+shapes static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icepy4d_tpu.models.lightglue import (
+    LightGlue,
+    cross_block,
+    filter_matches,
+    match_assignment,
+    normalize_keypoints,
+    rotary_encoding,
+    self_block,
+    _linear,
+)
+
+Array = jax.Array
+
+__all__ = [
+    "gt_assignment",
+    "assignment_nll",
+    "forward_all_layers",
+    "make_train_step",
+    "make_lightglue_dataset",
+    "train_lightglue",
+    "evaluate_matching",
+]
+
+
+# -- supervision ---------------------------------------------------------------
+
+def gt_assignment(
+    kpts0: Array,
+    kpts1: Array,
+    H: Array,
+    mask0: Array,
+    mask1: Array,
+    pos_th: float = 3.0,
+    neg_th: float = 6.0,
+) -> tuple[Array, Array, Array]:
+    """Ground-truth matches of two keypoint sets under a homography.
+
+    kpts0 (B, M, 2) xy in image 0; H (B, 3, 3) maps image-0 pixels to
+    image 1. A pair (i, j) is a GT match iff it is the MUTUAL nearest
+    neighbour of the reprojection and the reprojection error is
+    < pos_th px. Points whose nearest reprojection is > neg_th px are
+    GT-unmatchable (dustbin supervision); the band in between is
+    ambiguous and supervised as neither (ignored).
+
+    Returns (gt0 (B, M) int32 [-1 = no match], unm0 (B, M) bool,
+    unm1 (B, N) bool)."""
+    B, M, _ = kpts0.shape
+    N = kpts1.shape[1]
+    ones = jnp.ones_like(kpts0[..., :1])
+    p = jnp.concatenate([kpts0, ones], -1) @ H.transpose(0, 2, 1)
+    p = p[..., :2] / jnp.where(jnp.abs(p[..., 2:]) < 1e-9, 1e-9,
+                               p[..., 2:])
+    d2 = jnp.sum((p[:, :, None, :] - kpts1[:, None, :, :]) ** 2, -1)
+    valid = mask0[:, :, None] & mask1[:, None, :]
+    d2 = jnp.where(valid, d2, jnp.inf)
+    nn0 = jnp.argmin(d2, axis=2)                      # (B, M)
+    nn1 = jnp.argmin(d2, axis=1)                      # (B, N)
+    min0 = jnp.min(d2, axis=2)
+    min1 = jnp.min(d2, axis=1)
+    mutual = jnp.take_along_axis(nn1, nn0, 1) == jnp.arange(M)[None]
+    is_match = mutual & (min0 <= pos_th ** 2) & mask0
+    gt0 = jnp.where(is_match, nn0, -1).astype(jnp.int32)
+    unm0 = mask0 & (min0 > neg_th ** 2)
+    unm1 = mask1 & (min1 > neg_th ** 2)
+    return gt0, unm0, unm1
+
+
+def assignment_nll(scores: Array, gt0: Array, unm0: Array,
+                   unm1: Array) -> Array:
+    """LightGlue loss (paper eq. 10) on one log-assignment matrix.
+
+    scores (B, M+1, N+1); gt0 (B, M) GT column per row (-1 = none);
+    unm0/unm1 flag GT-unmatchable points. Matched-pair NLL is averaged
+    over matches, dustbin NLL over unmatchable points (each half
+    weight), guarded against empty sets."""
+    B, Mp1, Np1 = scores.shape
+    M, N = Mp1 - 1, Np1 - 1
+    matched = gt0 >= 0
+    pick = jnp.take_along_axis(
+        scores[:, :M, :], jnp.maximum(gt0, 0)[..., None], axis=2)[..., 0]
+    n_m = jnp.maximum(jnp.sum(matched), 1)
+    l_match = -jnp.sum(jnp.where(matched, pick, 0.0)) / n_m
+    n_u0 = jnp.maximum(jnp.sum(unm0), 1)
+    n_u1 = jnp.maximum(jnp.sum(unm1), 1)
+    l_un0 = -jnp.sum(jnp.where(unm0, scores[:, :M, N], 0.0)) / n_u0
+    l_un1 = -jnp.sum(jnp.where(unm1, scores[:, M, :N], 0.0)) / n_u1
+    return l_match + 0.5 * (l_un0 + l_un1)
+
+
+# -- forward with per-layer heads ----------------------------------------------
+
+def forward_all_layers(model: LightGlue, params: dict, data: dict):
+    """Run the transformer, returning per-layer descriptor states.
+
+    Returns (d0_layers (L, B, M, D), d1_layers (L, B, N, D)) — the
+    states AFTER each layer, ready for the per-layer assignment and
+    confidence heads."""
+    kpts0 = normalize_keypoints(data["kpts0"], data.get("size0"))
+    kpts1 = normalize_keypoints(data["kpts1"], data.get("size1"))
+    mask0, mask1 = data["mask0"], data["mask1"]
+    d0 = _linear(params["input_proj"], data["desc0"].astype(jnp.float32))
+    d1 = _linear(params["input_proj"], data["desc1"].astype(jnp.float32))
+    enc0 = rotary_encoding(params["posenc"], kpts0)
+    enc1 = rotary_encoding(params["posenc"], kpts1)
+    nh = model.num_heads
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+    def body(carry, layer):
+        c0, c1 = carry
+        c0 = self_block(layer["self_attn"], c0, enc0, mask0, nh)
+        c1 = self_block(layer["self_attn"], c1, enc1, mask1, nh)
+        c0, c1 = cross_block(layer["cross_attn"], c0, c1, mask0, mask1, nh)
+        return (c0, c1), (c0, c1)
+
+    _, (d0s, d1s) = jax.lax.scan(body, (d0, d1), stacked)
+    return d0s, d1s
+
+
+def make_train_step(model: LightGlue, tx, conf_weight: float = 0.25,
+                    pos_th: float = 3.0, neg_th: float = 6.0):
+    """Jitted train_step(params, opt_state, batch) -> (params,
+    opt_state, metrics). batch = dict(kpts0, desc0, mask0, kpts1,
+    desc1, mask1, size0, size1, H)."""
+
+    def loss_fn(params, batch):
+        with jax.default_matmul_precision(model.precision):
+            return _loss(params, batch)
+
+    def _loss(params, batch):
+        gt0, unm0, unm1 = gt_assignment(
+            batch["kpts0"], batch["kpts1"], batch["H"],
+            batch["mask0"], batch["mask1"], pos_th, neg_th)
+        data = dict(batch)
+        d0s, d1s = forward_all_layers(model, params, data)
+        mask0, mask1 = batch["mask0"], batch["mask1"]
+
+        assign_stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *params["assign"])
+        scores_l = jax.vmap(
+            lambda p, a, b: match_assignment(p, a, b, mask0, mask1)
+        )(assign_stacked, d0s, d1s)                    # (L, B, M+1, N+1)
+        nll_l = jax.vmap(
+            lambda s: assignment_nll(s, gt0, unm0, unm1))(scores_l)
+        l_assign = jnp.mean(nll_l)
+
+        # confidence heads: predict per-point agreement with the FINAL
+        # layer (paper §3.3). stop_gradient: auxiliary heads must not
+        # steer the matcher features.
+        m0_l, _, _, _ = jax.vmap(
+            lambda s: filter_matches(s, 0.0))(scores_l)  # (L, B, M)
+        final = m0_l[-1]
+        conf_stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *params["confidence"])
+        L = len(params["layers"])
+
+        def conf_ce(p, d0, d1, m0):
+            tgt0 = (m0 == final).astype(jnp.float32)
+            z0 = _linear(p["token"], jax.lax.stop_gradient(d0))[..., 0]
+            ce0 = sigmoid_ce(z0, tgt0)
+            return jnp.sum(jnp.where(mask0, ce0, 0.0)) / jnp.maximum(
+                jnp.sum(mask0), 1)
+
+        l_conf = jnp.mean(jax.vmap(conf_ce)(
+            conf_stacked, d0s[:L - 1], d1s[:L - 1], m0_l[:L - 1]))
+
+        loss = l_assign + conf_weight * l_conf
+        n_gt = jnp.sum(gt0 >= 0)
+        final_valid = jnp.where(mask0, final, -1)
+        hit = (final_valid == gt0) & (gt0 >= 0)
+        recall = jnp.sum(hit) / jnp.maximum(n_gt, 1)
+        return loss, {"loss": loss, "assign": l_assign, "conf": l_conf,
+                      "n_gt": n_gt, "recall_gt": recall}
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def sigmoid_ce(logits: Array, labels: Array) -> Array:
+    """Numerically-stable sigmoid binary cross-entropy."""
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+# -- data ------------------------------------------------------------------
+
+def _photometric(rng, img: np.ndarray) -> np.ndarray:
+    """Brightness/contrast/noise jitter so descriptors cannot key on
+    absolute intensity (the pair views of a glacier differ in
+    illumination far more than in geometry)."""
+    out = img * rng.uniform(0.6, 1.4) + rng.uniform(-0.15, 0.15)
+    if rng.uniform() < 0.5:
+        import cv2
+
+        out = cv2.GaussianBlur(out, (0, 0), rng.uniform(0.3, 1.0))
+    out = out + rng.normal(0, rng.uniform(0.005, 0.03), out.shape)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+def make_lightglue_dataset(
+    rng,
+    extract_fn,
+    n_batches: int,
+    batch: int,
+    h: int = 240,
+    w: int = 320,
+    real_pool=None,
+    real_fraction: float = 0.7,
+    warp_strength: float = 0.22,
+    extract_chunk: int = 64,
+):
+    """Cached training set of keypoint/descriptor pair batches.
+
+    extract_fn(images (K, h, w)) -> dict(keypoints, descriptors,
+    scores, mask) — typically the self-trained SuperPoint's extract
+    bound to its params. Images are (real patch | synthetic canvas)
+    + an independent photometric jitter per view; view 1 is a random
+    homography warp of view 0. Returns a pytree of stacked numpy
+    arrays with leading axis n_batches, ready for device_put."""
+    import cv2
+
+    from icepy4d_tpu.training.synthetic import (random_homography,
+                                                synthetic_sample)
+
+    n_pairs = n_batches * batch
+    imgs0 = np.empty((n_pairs, h, w), np.float32)
+    imgs1 = np.empty((n_pairs, h, w), np.float32)
+    Hs = np.empty((n_pairs, 3, 3), np.float32)
+    for i in range(n_pairs):
+        use_real = real_pool is not None and rng.uniform() < real_fraction
+        if use_real:
+            src = real_pool[int(rng.integers(len(real_pool)))]
+            sh, sw = src.shape
+            if sh < h or sw < w:
+                src = cv2.resize(src, (max(sw, w), max(sh, h)))
+                sh, sw = src.shape
+            y0 = int(rng.integers(0, sh - h + 1))
+            x0 = int(rng.integers(0, sw - w + 1))
+            base = src[y0:y0 + h, x0:x0 + w].astype(np.float32)
+        else:
+            base, _ = synthetic_sample(rng, h, w)
+        H = random_homography(rng, h, w, strength=warp_strength)
+        warped = cv2.warpPerspective(base, H, (w, h),
+                                     flags=cv2.INTER_LINEAR,
+                                     borderMode=cv2.BORDER_REFLECT)
+        imgs0[i] = _photometric(rng, base)
+        imgs1[i] = _photometric(rng, warped)
+        Hs[i] = H
+
+    # one batched extraction pass per chunk (device round-trips are
+    # expensive; chunk size bounds device memory)
+    def extract_all(imgs):
+        outs = []
+        for s in range(0, n_pairs, extract_chunk):
+            out = extract_fn(jnp.asarray(imgs[s:s + extract_chunk]))
+            outs.append({k: np.asarray(v) for k, v in out.items()})
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    f0 = extract_all(imgs0)
+    f1 = extract_all(imgs1)
+    size = np.tile(np.asarray([w, h], np.float32), (n_pairs, 1))
+    ds = {
+        "kpts0": f0["keypoints"], "desc0": f0["descriptors"],
+        "mask0": f0["mask"], "size0": size,
+        "kpts1": f1["keypoints"], "desc1": f1["descriptors"],
+        "mask1": f1["mask"], "size1": size,
+        "H": Hs,
+    }
+    return {k: v.reshape(n_batches, batch, *v.shape[1:])
+            for k, v in ds.items()}
+
+
+def train_lightglue(
+    model: LightGlue,
+    dataset: dict,
+    steps: int = 3000,
+    lr: float = 1e-4,
+    seed: int = 0,
+    params: dict | None = None,
+    scan_chunk: int = 100,
+    conf_weight: float = 0.25,
+    warmup: int = 200,
+    log=print,
+):
+    """Train `model` on a cached dataset (make_lightglue_dataset).
+
+    Same dispatch discipline as superpoint_train.train_superpoint: the
+    dataset lives on device, scan_chunk optimizer steps run per
+    dispatch. Cosine LR with linear warmup. Returns (params, history).
+    """
+    import optax
+
+    n_batches = dataset["H"].shape[0]
+    if params is None:
+        params = model.init(seed)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = tx.init(params)
+    step_fn = make_train_step(model, tx, conf_weight)
+    data = jax.device_put(jax.tree.map(jnp.asarray, dataset))
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run_chunk(params, opt_state, data, start, n_steps):
+        def body(carry, k):
+            params, opt_state = carry
+            i = (start + k) % n_batches
+            batch = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, i, 0, keepdims=False), data)
+            params, opt_state, metrics = step_fn(params, opt_state, batch)
+            return (params, opt_state), (metrics["loss"],
+                                         metrics["recall_gt"])
+
+        (params, opt_state), (losses, recalls) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, losses, recalls
+
+    history = []
+    done = 0
+    while done < steps:
+        n = min(scan_chunk, steps - done)
+        params, opt_state, losses, recalls = run_chunk(
+            params, opt_state, data, jnp.asarray(done), n)
+        losses = np.asarray(losses)
+        recalls = np.asarray(recalls)
+        history.append({"step": done + n - 1,
+                        "loss": float(losses[-1]),
+                        "chunk_mean": float(losses.mean()),
+                        "recall_gt": float(recalls[-1])})
+        log(f"step {done + n - 1:6d}  loss {losses[-1]:.4f}  "
+            f"(chunk mean {losses.mean():.4f})  "
+            f"GT recall {recalls[-1]:.3f}")
+        done += n
+    return params, history
+
+
+def evaluate_matching(model: LightGlue, params: dict, dataset: dict,
+                      n_batches: int | None = None,
+                      filter_threshold: float = 0.1):
+    """Held-out precision/recall of mutual-max matches vs GT."""
+    B = dataset["H"].shape[0] if n_batches is None else n_batches
+    tp = fp = n_gt = 0
+    for i in range(B):
+        batch = jax.tree.map(lambda a: jnp.asarray(a[i]), dataset)
+        out = model.match(params, {k: batch[k] for k in (
+            "kpts0", "desc0", "mask0", "size0",
+            "kpts1", "desc1", "mask1", "size1")})
+        gt0, _, _ = gt_assignment(batch["kpts0"], batch["kpts1"],
+                                  batch["H"], batch["mask0"],
+                                  batch["mask1"])
+        m0 = np.asarray(out["matches0"])
+        g = np.asarray(gt0)
+        pred = m0 >= 0
+        tp += int(((m0 == g) & pred & (g >= 0)).sum())
+        fp += int((pred & (m0 != g)).sum())
+        n_gt += int((g >= 0).sum())
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(n_gt, 1)
+    return {"precision": precision, "recall": recall,
+            "n_gt": n_gt, "n_pred": tp + fp}
