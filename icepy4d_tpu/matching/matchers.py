@@ -787,6 +787,16 @@ class SIFTMatcher(NearestNeighborMatcher):
     distance ratio), mutual (False — one-way recovers more putatives;
     GV prunes), contrast_threshold (0.015), edge_threshold (12),
     upsample (True).
+
+    Wide-baseline caveat: guided rematch amplifies whatever F guides
+    it. On extreme baselines the stage-1 putative set can be 1-2%
+    inliers, where a blind RANSAC F may be plane-locked or
+    chance-supported — the epipolar band then fills with F-consistent
+    but depth-INconsistent matches (they pass GV yet collapse at
+    essential-pose time). When surveyed geometry exists, pass
+    ``F_prior`` (the pipeline's GCP-prior path, pipeline._gcp_prior,
+    does this automatically); without a prior, validate downstream
+    with RelativeOrientation before trusting the guided set.
     """
 
     def _build_models(self, opt: dict) -> None:

@@ -134,7 +134,13 @@ def forward_all_layers(model: LightGlue, params: dict, data: dict):
 
     Returns (d0_layers (L, B, M, D), d1_layers (L, B, N, D)) — the
     states AFTER each layer, ready for the per-layer assignment and
-    confidence heads."""
+    confidence heads.
+
+    Attention goes through the XLA path explicitly: the Pallas flash
+    kernel used by inference has no VJP, so reverse-mode AD through it
+    fails on TPU. XLA's fused attention fwd+bwd is the right training
+    kernel at these sequence lengths anyway."""
+    from icepy4d_tpu.ops.attention import _xla_attention
     kpts0 = normalize_keypoints(data["kpts0"], data.get("size0"))
     kpts1 = normalize_keypoints(data["kpts1"], data.get("size1"))
     mask0, mask1 = data["mask0"], data["mask1"]
@@ -147,9 +153,12 @@ def forward_all_layers(model: LightGlue, params: dict, data: dict):
 
     def body(carry, layer):
         c0, c1 = carry
-        c0 = self_block(layer["self_attn"], c0, enc0, mask0, nh)
-        c1 = self_block(layer["self_attn"], c1, enc1, mask1, nh)
-        c0, c1 = cross_block(layer["cross_attn"], c0, c1, mask0, mask1, nh)
+        c0 = self_block(layer["self_attn"], c0, enc0, mask0, nh,
+                        attn=_xla_attention)
+        c1 = self_block(layer["self_attn"], c1, enc1, mask1, nh,
+                        attn=_xla_attention)
+        c0, c1 = cross_block(layer["cross_attn"], c0, c1, mask0, mask1,
+                             nh, attn=_xla_attention)
         return (c0, c1), (c0, c1)
 
     _, (d0s, d1s) = jax.lax.scan(body, (d0, d1), stacked)

@@ -53,6 +53,11 @@ def main() -> None:
                          "keypoints/descriptors")
     ap.add_argument("--init", default=None,
                     help="resume from an existing LightGlue .npz")
+    ap.add_argument("--dataset-cache", default=None,
+                    help=".npz path: reuse the cached batch set if it "
+                         "exists, else build and save it (dataset "
+                         "construction costs minutes of SuperPoint "
+                         "extraction)")
     ap.add_argument("--out", default="weights/lightglue_synthetic.npz")
     args = ap.parse_args()
 
@@ -68,22 +73,35 @@ def main() -> None:
     from icepy4d_tpu.training.synthetic import load_real_patch_pool
 
     rng = np.random.default_rng(args.seed)
-    sp = SuperPoint(max_keypoints=args.max_keypoints,
-                    detection_threshold=0.0005)
-    sp_params = jax.tree.map(jnp.asarray, load_params(args.superpoint))
-    pool = (load_real_patch_pool(args.real_image_dir)
-            if args.real_image_dir else None)
-
-    print(f"building {args.n_batches}+{args.eval_batches} cached "
-          f"batches of {args.batch} pairs "
-          f"({args.height}x{args.width}, {args.max_keypoints} kpts)",
-          flush=True)
     n_total = args.n_batches + args.eval_batches
-    ds = make_lightglue_dataset(
-        rng, lambda imgs: sp.extract(sp_params, imgs),
-        n_batches=n_total, batch=args.batch,
-        h=args.height, w=args.width, real_pool=pool,
-        real_fraction=args.real_fraction)
+    cache = Path(args.dataset_cache) if args.dataset_cache else None
+    if cache is not None and cache.exists():
+        with np.load(cache) as z:
+            ds = {k: z[k] for k in z.files}
+        assert ds["H"].shape[0] == n_total, (
+            f"cached dataset has {ds['H'].shape[0]} batches, "
+            f"need {n_total}")
+        print(f"loaded dataset cache {cache}", flush=True)
+    else:
+        sp = SuperPoint(max_keypoints=args.max_keypoints,
+                        detection_threshold=0.0005)
+        sp_params = jax.tree.map(jnp.asarray,
+                                 load_params(args.superpoint))
+        pool = (load_real_patch_pool(args.real_image_dir)
+                if args.real_image_dir else None)
+        print(f"building {args.n_batches}+{args.eval_batches} cached "
+              f"batches of {args.batch} pairs "
+              f"({args.height}x{args.width}, {args.max_keypoints} kpts)",
+              flush=True)
+        ds = make_lightglue_dataset(
+            rng, lambda imgs: sp.extract(sp_params, imgs),
+            n_batches=n_total, batch=args.batch,
+            h=args.height, w=args.width, real_pool=pool,
+            real_fraction=args.real_fraction)
+        if cache is not None:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(cache, **ds)
+            print(f"saved dataset cache {cache}", flush=True)
     train_ds = {k: v[:args.n_batches] for k, v in ds.items()}
     eval_ds = {k: v[args.n_batches:] for k, v in ds.items()}
 

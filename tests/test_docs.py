@@ -21,6 +21,7 @@ TUTORIALS = [
     DOCS / "tutorials" / "matching.md",
     DOCS / "tutorials" / "single_epoch_stereo.md",
     DOCS / "tutorials" / "multitemporal_4d.md",
+    DOCS / "tutorials" / "self_training.md",
 ]
 
 
