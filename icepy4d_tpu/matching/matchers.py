@@ -45,6 +45,18 @@ from icepy4d_tpu.ops.image import quality_resize, rgb_to_gray
 
 logger = logging.getLogger("icepy4d_tpu")
 
+
+def _force_random_weights(opt: dict) -> bool:
+    """True when a weight-less matcher must use random init instead of
+    the bundled self-trained checkpoints: opt random_weights=True, or
+    env ICEPY4D_RANDOM_WEIGHTS=1 (set by tests/conftest.py — the
+    synthetic numerics gates are built around deterministic random
+    weights)."""
+    import os
+
+    return bool(opt.get("random_weights")) or \
+        os.environ.get("ICEPY4D_RANDOM_WEIGHTS", "") not in ("", "0")
+
 MIN_MATCHES_PER_TILE = 5
 
 
@@ -128,6 +140,18 @@ class ImageMatcherBase:
             from icepy4d_tpu.models.convert import load_torch_superpoint
 
             return load_torch_superpoint(path)
+        kind = str(opt.get("extractor", "superpoint")).lower()
+        if kind == "superpoint" and not _force_random_weights(opt):
+            # default deployment path: the committed self-trained
+            # checkpoint (the official one is not downloadable offline)
+            from icepy4d_tpu.models.convert import (bundled_checkpoint,
+                                                    load_params)
+
+            path = bundled_checkpoint("superpoint_synthetic.npz")
+            if path is not None:
+                logger.info(
+                    "SuperPoint: bundled self-trained checkpoint %s", path)
+                return jax.tree.map(jnp.asarray, load_params(path))
         logger.warning("SuperPoint: no checkpoint given — random weights")
         return self._superpoint(self._max_keypoints).init(rng)
 
@@ -681,7 +705,10 @@ class LightGlueMatcher(ImageMatcherBase):
 
     opt keys: max_keypoints (default 4096), filter_threshold (0.1),
     n_layers (9), superpoint_weights / lightglue_weights (torch .pth
-    paths), superpoint_params / matcher_params (ready JAX pytrees).
+    or self-trained .npz paths), superpoint_params / matcher_params
+    (ready JAX pytrees). With no weights given, the committed
+    self-trained checkpoints (weights/*.npz) are the default;
+    random_weights=True opts out (mainly for tests).
 
     opt adaptive=True enables the reference's adaptive depth/width
     (early exit + point pruning, ref lightglue.py:491-510) via the
@@ -718,9 +745,26 @@ class LightGlueMatcher(ImageMatcherBase):
                 self._matcher_params = load_torch_lightglue(
                     path, n_layers=self.matcher.n_layers)
         else:
-            logger.warning(
-                "LightGlueMatcher: no checkpoint given — random weights")
-            self._matcher_params = self.matcher.init(rng)
+            self._matcher_params = None
+            if (self.matcher.n_layers == 9 and self.descriptor_dim == 256
+                    and not _force_random_weights(opt)):
+                # default deployment path: committed self-trained
+                # checkpoint (trained on the bundled SuperPoint's
+                # descriptors — scripts/train_lightglue.py)
+                from icepy4d_tpu.models.convert import (bundled_checkpoint,
+                                                        load_params)
+
+                path = bundled_checkpoint("lightglue_synthetic.npz")
+                if path is not None:
+                    logger.info(
+                        "LightGlue: bundled self-trained checkpoint %s",
+                        path)
+                    self._matcher_params = jax.tree.map(
+                        jnp.asarray, load_params(path))
+            if self._matcher_params is None:
+                logger.warning(
+                    "LightGlueMatcher: no checkpoint given — random weights")
+                self._matcher_params = self.matcher.init(rng)
 
     def _run_matcher(self, data: dict) -> dict:
         if self._adaptive:

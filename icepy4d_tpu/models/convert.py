@@ -233,6 +233,20 @@ def save_params(path, params) -> None:
     np.savez_compressed(path, **flat)
 
 
+def bundled_checkpoint(name: str):
+    """Path of a committed self-trained checkpoint (repo weights/<name>).
+
+    The official pretrained weights are not downloadable in air-gapped
+    deployments, so the repo ships self-trained replacements
+    (scripts/train_superpoint.py, scripts/train_lightglue.py). Returns
+    a pathlib.Path or None when the artifact is absent (e.g. a source
+    tree before any training run)."""
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "weights" / name
+    return path if path.exists() else None
+
+
 def load_params(path) -> dict:
     """Inverse of save_params; integer path segments rebuild lists."""
     import numpy as np

@@ -336,12 +336,18 @@ def train_lightglue(
     conf_weight: float = 0.25,
     warmup: int = 200,
     log=print,
+    save_fn=None,
+    save_every: int = 0,
 ):
     """Train `model` on a cached dataset (make_lightglue_dataset).
 
     Same dispatch discipline as superpoint_train.train_superpoint: the
     dataset lives on device, scan_chunk optimizer steps run per
     dispatch. Cosine LR with linear warmup. Returns (params, history).
+
+    save_fn(params, step) is called every `save_every` steps (rounded
+    to chunk boundaries) so an interrupted multi-hour run keeps its
+    progress (runs through the remote-TPU tunnel die with the session).
     """
     import optax
 
@@ -373,6 +379,7 @@ def train_lightglue(
 
     history = []
     done = 0
+    last_save = 0
     while done < steps:
         n = min(scan_chunk, steps - done)
         params, opt_state, losses, recalls = run_chunk(
@@ -387,6 +394,10 @@ def train_lightglue(
             f"(chunk mean {losses.mean():.4f})  "
             f"GT recall {recalls[-1]:.3f}")
         done += n
+        if save_fn is not None and save_every and \
+                done - last_save >= save_every and done < steps:
+            save_fn(params, done)
+            last_save = done
     return params, history
 
 

@@ -59,6 +59,9 @@ def main() -> None:
                          "construction costs minutes of SuperPoint "
                          "extraction)")
     ap.add_argument("--out", default="weights/lightglue_synthetic.npz")
+    ap.add_argument("--save-every", type=int, default=1000,
+                    help="checkpoint to --out every N steps (0 = only "
+                         "at the end)")
     args = ap.parse_args()
 
     import jax
@@ -111,15 +114,23 @@ def main() -> None:
         params = jax.tree.map(jnp.asarray, load_params(args.init))
         print(f"resumed from {args.init}")
 
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def save_intermediate(p, step):
+        tmp = out.with_suffix(".tmp.npz")
+        save_params(tmp, p)
+        tmp.replace(out)
+        print(f"checkpointed step {step} -> {out}", flush=True)
+
     params, history = train_lightglue(
         model, train_ds, steps=args.steps, lr=args.lr, seed=args.seed,
-        params=params, scan_chunk=args.scan_chunk)
+        params=params, scan_chunk=args.scan_chunk,
+        save_fn=save_intermediate, save_every=args.save_every)
 
     report = evaluate_matching(model, params, eval_ds)
     print("held-out:", json.dumps(report))
 
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
     save_params(out, params)
     print(f"saved {out}")
 

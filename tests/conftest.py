@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # does force the host CPU backend (8 virtual devices via XLA_FLAGS above).
 jax.config.update("jax_platforms", "cpu")
 
+# The synthetic numerics gates (test_match_quality etc.) are built
+# around deterministic random-weight matchers; deployments default to
+# the bundled self-trained checkpoints instead (matchers.py
+# _force_random_weights). Tests that want the bundled weights pass
+# explicit paths or monkeypatch this away.
+os.environ.setdefault("ICEPY4D_RANDOM_WEIGHTS", "1")
+
 import pytest  # noqa: E402
 
 REFERENCE_ASSETS = Path("/root/reference/assets")
