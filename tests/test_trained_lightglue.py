@@ -76,10 +76,15 @@ def test_checkpoint_beats_nn_baseline(eval_data):
     nn_recall = tp / max(n_gt, 1)
 
     assert rep["n_gt"] > 100
-    assert rep["recall"] > 0.25, (rep, nn_precision, nn_recall)
-    assert rep["recall"] > 3.0 * max(nn_recall, 0.02), (
+    # absolute quality floor for the committed artifact, plus a margin
+    # over what the raw descriptors alone support (the 16k-step
+    # checkpoint reaches ~0.94 recall / ~0.90 precision here vs the NN
+    # baseline's ~0.64 / ~0.73)
+    assert rep["recall"] > 0.5, (rep, nn_precision, nn_recall)
+    assert rep["precision"] > 0.5, (rep, nn_precision, nn_recall)
+    assert rep["recall"] > nn_recall + 0.05, (
         rep, nn_precision, nn_recall)
-    assert rep["precision"] > 1.5 * max(nn_precision, 0.02), (
+    assert rep["precision"] > nn_precision + 0.05, (
         rep, nn_precision, nn_recall)
 
 
