@@ -302,6 +302,29 @@ class SuperPoint:
         with jax.default_matmul_precision(self.precision):
             return self._extract(params, images)
 
+    @partial(jax.jit, static_argnums=0)
+    def describe_at(self, params, images: Array, kpts: Array) -> Array:
+        """Descriptors at GIVEN pixel positions (no detection).
+
+        images (B, H, W[, 1]) in [0, 1]; kpts (B, K, 2) xy pixels.
+        Returns (B, K, 256) L2-normalized descriptors bilinearly sampled
+        from the dense map — the sampling path real keypoints take in
+        extract(). Used to attach matcher-input descriptors to
+        externally-supplied correspondences (e.g. the SIFT+GCP
+        pipeline's verified wide-baseline matches feeding
+        training/lightglue_train.make_correspondence_dataset)."""
+        with jax.default_matmul_precision(self.precision):
+            if images.ndim == 3:
+                images = images[..., None]
+            b, h0, w0, _ = images.shape
+            ph, pw = (-h0) % 8, (-w0) % 8
+            if ph or pw:
+                images = jnp.pad(images,
+                                 ((0, 0), (0, ph), (0, pw), (0, 0)))
+            _, dense_desc = self.net.apply(params, images)
+            dense_desc = dense_desc.astype(jnp.float32)
+            return jax.vmap(sample_descriptors)(dense_desc, kpts)
+
     def _extract(self, params, images: Array) -> dict:
         if images.ndim == 3:
             images = images[..., None]

@@ -33,6 +33,7 @@ shapes static.
 from __future__ import annotations
 
 from functools import partial
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,8 @@ __all__ = [
     "forward_all_layers",
     "make_train_step",
     "make_lightglue_dataset",
+    "collect_epoch_pairs",
+    "make_correspondence_dataset",
     "train_lightglue",
     "evaluate_matching",
 ]
@@ -166,19 +169,27 @@ def forward_all_layers(model: LightGlue, params: dict, data: dict):
 
 
 def make_train_step(model: LightGlue, tx, conf_weight: float = 0.25,
-                    pos_th: float = 3.0, neg_th: float = 6.0):
+                    pos_th: float = 3.0, neg_th: float = 6.0,
+                    explicit_gt: bool = False):
     """Jitted train_step(params, opt_state, batch) -> (params,
     opt_state, metrics). batch = dict(kpts0, desc0, mask0, kpts1,
-    desc1, mask1, size0, size1, H)."""
+    desc1, mask1, size0, size1) plus either H (homography supervision,
+    the default) or — with explicit_gt=True — precomputed gt0 / unm0 /
+    unm1 arrays (pipeline-verified real correspondences, where no
+    homography exists)."""
 
     def loss_fn(params, batch):
         with jax.default_matmul_precision(model.precision):
             return _loss(params, batch)
 
     def _loss(params, batch):
-        gt0, unm0, unm1 = gt_assignment(
-            batch["kpts0"], batch["kpts1"], batch["H"],
-            batch["mask0"], batch["mask1"], pos_th, neg_th)
+        if explicit_gt:
+            gt0 = batch["gt0"]
+            unm0, unm1 = batch["unm0"], batch["unm1"]
+        else:
+            gt0, unm0, unm1 = gt_assignment(
+                batch["kpts0"], batch["kpts1"], batch["H"],
+                batch["mask0"], batch["mask1"], pos_th, neg_th)
         data = dict(batch)
         d0s, d1s = forward_all_layers(model, params, data)
         mask0, mask1 = batch["mask0"], batch["mask1"]
@@ -325,6 +336,164 @@ def make_lightglue_dataset(
             for k, v in ds.items()}
 
 
+def collect_epoch_pairs(results_dir, cams: tuple[str, str] | None = None,
+                        min_corr: int = 50, image_scale: float = 1.0,
+                        statuses: tuple[str, ...] = ("ok", "degraded")):
+    """Verified wide-baseline correspondences from a season's epoch
+    checkpoints (pipeline results_dir with epochs/*/*.pickle).
+
+    The 4D pipeline's per-epoch features carry shared track_ids across
+    cameras; the intersection IS the geometrically-verified
+    correspondence set (GV + reprojection-filtered + BA-weighted).
+    Returns a list of dicts {img0, img1 (H, W) float32 in [0,1],
+    corr0, corr1 (n, 2) xy} ready for make_correspondence_dataset —
+    the supervision self_training.md's MegaDepth-stage replacement
+    needs, with no extra annotation."""
+    import cv2
+
+    from icepy4d_tpu.core.epoch import Epoch
+
+    pairs = []
+    root = Path(results_dir)
+    for p in sorted(root.glob("epochs/*/*.pickle")):
+        ep = Epoch.read_pickle(p)
+        if ep.quality.get("status", "ok") not in statuses:
+            continue
+        names = sorted(ep.features)
+        if cams is not None:
+            names = [c for c in cams if c in ep.features]
+        if len(names) < 2:
+            continue
+        c0, c1 = names[:2]
+        f0, f1 = ep.features[c0], ep.features[c1]
+        t0 = f0.track_ids_to_numpy()
+        t1 = f1.track_ids_to_numpy()
+        common, i0, i1 = np.intersect1d(t0, t1, return_indices=True)
+        if len(common) < min_corr:
+            continue
+        xy0 = f0.kpts_to_numpy()[i0]
+        xy1 = f1.kpts_to_numpy()[i1]
+        imgs = {}
+        for cam in (c0, c1):
+            path = getattr(ep.images.get(cam), "path", None)
+            if path is None or not Path(path).exists():
+                imgs = None
+                break
+            g = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+            if image_scale != 1.0:
+                g = cv2.resize(g, (int(round(g.shape[1] * image_scale)),
+                                   int(round(g.shape[0] * image_scale))))
+            imgs[cam] = g.astype(np.float32) / 255.0
+        if imgs is None:
+            continue
+        pairs.append({
+            "img0": imgs[c0], "img1": imgs[c1],
+            "corr0": xy0 * image_scale, "corr1": xy1 * image_scale,
+        })
+    return pairs
+
+
+def make_correspondence_dataset(
+    rng,
+    describe_fn,
+    detect_fn,
+    pairs: list,
+    n_batches: int,
+    batch: int,
+    n_kpts: int = 512,
+    pos_fraction: float = 0.5,
+    neg_margin: float = 6.0,
+):
+    """Explicit-GT training batches from verified real correspondences.
+
+    describe_fn(images (1, H, W), kpts (1, K, 2)) -> (1, K, D)
+    descriptors at given positions (SuperPoint.describe_at bound to
+    params); detect_fn(images (1, H, W)) -> extract() dict, supplying
+    detected keypoints used as unmatchable negatives. Each sample draws
+    a random subset of one pair's correspondences into the first slots
+    (gt = identity pairing, independently permuted per side is
+    unnecessary — the matcher sees only coordinates/descriptors) and
+    fills the rest with detections; detections within neg_margin px of
+    a used correspondence are supervised as neither matched nor
+    unmatchable (their true status is unknown). All shapes static:
+    (n_batches, batch, n_kpts, ...)."""
+    n_samples = n_batches * batch
+    sizes, feats = [], []
+    # per-pair device work ONCE: full detection + a descriptor pass over
+    # all its correspondences (samples then just gather host-side)
+    per_pair = []
+    for pr in pairs:
+        entry = {}
+        for side in (0, 1):
+            img = pr[f"img{side}"]
+            h, w = img.shape
+            corr = np.asarray(pr[f"corr{side}"], np.float32)
+            desc = np.asarray(describe_fn(
+                jnp.asarray(img[None]), jnp.asarray(corr[None])))[0]
+            det = detect_fn(jnp.asarray(img[None]))
+            entry[side] = {
+                "size": np.asarray([w, h], np.float32),
+                "corr": corr, "corr_desc": desc,
+                "det_xy": np.asarray(det["keypoints"])[0],
+                "det_desc": np.asarray(det["descriptors"])[0],
+                "det_mask": np.asarray(det["mask"])[0],
+            }
+        per_pair.append(entry)
+
+    out = {k: [] for k in ("kpts0", "desc0", "mask0", "size0",
+                           "kpts1", "desc1", "mask1", "size1",
+                           "gt0", "unm0", "unm1")}
+    d_dim = per_pair[0][0]["corr_desc"].shape[-1]
+    n_pos_max = int(n_kpts * pos_fraction)
+    for _ in range(n_samples):
+        entry = per_pair[int(rng.integers(len(per_pair)))]
+        n_corr = len(entry[0]["corr"])
+        n_pos = min(n_corr, n_pos_max)
+        sel = rng.choice(n_corr, size=n_pos, replace=False)
+        sample = {}
+        for side in (0, 1):
+            e = entry[side]
+            kpts = np.zeros((n_kpts, 2), np.float32)
+            desc = np.zeros((n_kpts, d_dim), np.float32)
+            mask = np.zeros((n_kpts,), bool)
+            kpts[:n_pos] = e["corr"][sel]
+            desc[:n_pos] = e["corr_desc"][sel]
+            mask[:n_pos] = True
+            # negatives: valid detections, shuffled
+            dv = np.flatnonzero(e["det_mask"])
+            rng.shuffle(dv)
+            n_neg = min(len(dv), n_kpts - n_pos)
+            kpts[n_pos:n_pos + n_neg] = e["det_xy"][dv[:n_neg]]
+            desc[n_pos:n_pos + n_neg] = e["det_desc"][dv[:n_neg]]
+            mask[n_pos:n_pos + n_neg] = True
+            # a detection near a USED correspondence has a plausible
+            # partner in the other view -> unknown status, not dustbin
+            if n_neg:
+                d2 = np.sum((kpts[n_pos:n_pos + n_neg, None, :]
+                             - kpts[None, :n_pos, :]) ** 2, -1)
+                near = (d2.min(1) < neg_margin ** 2) if n_pos else \
+                    np.zeros(n_neg, bool)
+            unm = np.zeros((n_kpts,), bool)
+            unm[n_pos:n_pos + n_neg] = ~near if n_neg else False
+            sample[side] = (kpts, desc, mask, unm, e["size"])
+        gt0 = np.full((n_kpts,), -1, np.int32)
+        gt0[:n_pos] = np.arange(n_pos)
+        out["kpts0"].append(sample[0][0])
+        out["desc0"].append(sample[0][1])
+        out["mask0"].append(sample[0][2])
+        out["unm0"].append(sample[0][3])
+        out["size0"].append(sample[0][4])
+        out["kpts1"].append(sample[1][0])
+        out["desc1"].append(sample[1][1])
+        out["mask1"].append(sample[1][2])
+        out["unm1"].append(sample[1][3])
+        out["size1"].append(sample[1][4])
+        out["gt0"].append(gt0)
+    stacked = {k: np.stack(v) for k, v in out.items()}
+    return {k: v.reshape(n_batches, batch, *v.shape[1:])
+            for k, v in stacked.items()}
+
+
 def train_lightglue(
     model: LightGlue,
     dataset: dict,
@@ -351,14 +520,16 @@ def train_lightglue(
     """
     import optax
 
-    n_batches = dataset["H"].shape[0]
+    n_batches = next(iter(dataset.values())).shape[0]
+    explicit_gt = "gt0" in dataset
     if params is None:
         params = model.init(seed)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
-    step_fn = make_train_step(model, tx, conf_weight)
+    step_fn = make_train_step(model, tx, conf_weight,
+                              explicit_gt=explicit_gt)
     data = jax.device_put(jax.tree.map(jnp.asarray, dataset))
 
     @partial(jax.jit, static_argnames=("n_steps",))
@@ -404,17 +575,22 @@ def train_lightglue(
 def evaluate_matching(model: LightGlue, params: dict, dataset: dict,
                       n_batches: int | None = None,
                       filter_threshold: float = 0.1):
-    """Held-out precision/recall of mutual-max matches vs GT."""
-    B = dataset["H"].shape[0] if n_batches is None else n_batches
+    """Held-out precision/recall of mutual-max matches vs GT (from the
+    dataset's homography, or its explicit gt0 when present)."""
+    B = (next(iter(dataset.values())).shape[0]
+         if n_batches is None else n_batches)
     tp = fp = n_gt = 0
     for i in range(B):
         batch = jax.tree.map(lambda a: jnp.asarray(a[i]), dataset)
         out = model.match(params, {k: batch[k] for k in (
             "kpts0", "desc0", "mask0", "size0",
             "kpts1", "desc1", "mask1", "size1")})
-        gt0, _, _ = gt_assignment(batch["kpts0"], batch["kpts1"],
-                                  batch["H"], batch["mask0"],
-                                  batch["mask1"])
+        if "gt0" in batch:
+            gt0 = batch["gt0"]
+        else:
+            gt0, _, _ = gt_assignment(batch["kpts0"], batch["kpts1"],
+                                      batch["H"], batch["mask0"],
+                                      batch["mask1"])
         m0 = np.asarray(out["matches0"])
         g = np.asarray(gt0)
         pred = m0 >= 0

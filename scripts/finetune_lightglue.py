@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Fine-tune LightGlue on the pipeline's own verified wide-baseline
+correspondences.
+
+Homography pre-training (scripts/train_lightglue.py) cannot teach
+extreme-viewpoint matching — the original's second stage used MegaDepth
+3-D supervision. A processed season replaces that: every epoch's
+cross-camera features with shared track_ids are geometrically-verified
+real wide-baseline correspondences (SIFT + GCP-prior chain), and this
+script trains the matcher head on exactly those, with SuperPoint
+descriptors sampled at the correspondence pixels
+(training/lightglue_train.py::make_correspondence_dataset).
+
+Usage (after a pipeline run):
+  python scripts/finetune_lightglue.py --results-dir res \
+      --init weights/lightglue_synthetic.npz \
+      --out weights/lightglue_finetuned.npz
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import os
+
+if os.environ.get("ICEPY4D_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results-dir", required=True,
+                    help="pipeline results dir (epochs/*/*.pickle)")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n-batches", type=int, default=48)
+    ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument("--max-keypoints", type=int, default=512)
+    ap.add_argument("--image-scale", type=float, default=0.25,
+                    help="downscale factor for the full-res frames "
+                         "(descriptor sampling memory)")
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scan-chunk", type=int, default=100)
+    ap.add_argument("--n-layers", type=int, default=9)
+    ap.add_argument("--superpoint",
+                    default="weights/superpoint_synthetic.npz")
+    ap.add_argument("--init", default="weights/lightglue_synthetic.npz",
+                    help="checkpoint to fine-tune ('' = fresh init)")
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--out", default="weights/lightglue_finetuned.npz")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icepy4d_tpu.models.convert import load_params, save_params
+    from icepy4d_tpu.models.lightglue import LightGlue
+    from icepy4d_tpu.models.superpoint import SuperPoint
+    from icepy4d_tpu.training.lightglue_train import (
+        collect_epoch_pairs, evaluate_matching,
+        make_correspondence_dataset, train_lightglue)
+
+    rng = np.random.default_rng(args.seed)
+    pairs = collect_epoch_pairs(args.results_dir,
+                                image_scale=args.image_scale)
+    if not pairs:
+        raise SystemExit(f"no usable epoch pairs in {args.results_dir}")
+    n_corr = [len(p["corr0"]) for p in pairs]
+    print(f"{len(pairs)} epoch pairs, correspondences "
+          f"min/median/max = {min(n_corr)}/{int(np.median(n_corr))}/"
+          f"{max(n_corr)}", flush=True)
+
+    sp = SuperPoint(max_keypoints=args.max_keypoints,
+                    detection_threshold=0.0005)
+    sp_params = jax.tree.map(jnp.asarray, load_params(args.superpoint))
+    ds = make_correspondence_dataset(
+        rng,
+        lambda imgs, kpts: sp.describe_at(sp_params, imgs, kpts),
+        lambda imgs: sp.extract(sp_params, imgs),
+        pairs, n_batches=args.n_batches + args.eval_batches,
+        batch=args.batch, n_kpts=args.max_keypoints)
+    train_ds = {k: v[:args.n_batches] for k, v in ds.items()}
+    eval_ds = {k: v[args.n_batches:] for k, v in ds.items()}
+
+    model = LightGlue(n_layers=args.n_layers)
+    params = None
+    if args.init:
+        params = jax.tree.map(jnp.asarray, load_params(args.init))
+        print(f"fine-tuning from {args.init}")
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def save_intermediate(p, step):
+        tmp = out.with_suffix(".tmp.npz")
+        save_params(tmp, p)
+        tmp.replace(out)
+        print(f"checkpointed step {step} -> {out}", flush=True)
+
+    before = evaluate_matching(model, params, eval_ds) \
+        if params is not None else None
+    params, _ = train_lightglue(
+        model, train_ds, steps=args.steps, lr=args.lr, seed=args.seed,
+        params=params, scan_chunk=args.scan_chunk,
+        save_fn=save_intermediate, save_every=args.save_every)
+    after = evaluate_matching(model, params, eval_ds)
+    if before is not None:
+        print("held-out before:", json.dumps(before))
+    print("held-out after: ", json.dumps(after))
+
+    save_params(out, params)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

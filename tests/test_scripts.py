@@ -59,3 +59,52 @@ def test_track_targets_script(tmp_path):
               "--template", "64", "--search", "96", "--snr", "3"])
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "out" / "slave_0.csv").exists()
+
+
+def test_finetune_lightglue_script(tmp_path):
+    """End-to-end: epoch checkpoints -> correspondence fine-tune ->
+    saved checkpoint (scripts/finetune_lightglue.py, tiny settings)."""
+    import cv2
+
+    from icepy4d_tpu.core.epoch import Epoch
+    from icepy4d_tpu.core.features import Features
+    from icepy4d_tpu.core.images import Image
+
+    rng = np.random.default_rng(5)
+    lo = rng.uniform(size=(30, 40)).astype(np.float32)
+    base = cv2.resize(lo, (160, 120), interpolation=cv2.INTER_CUBIC)
+    img0 = base[:112, :152]
+    img1 = base[8:, 8:]
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    paths = {}
+    for cam, img in (("cam1", img0), ("cam2", img1)):
+        p = img_dir / f"{cam}.jpg"
+        cv2.imwrite(str(p), (img * 255).astype(np.uint8))
+        paths[cam] = p
+    gx, gy = np.meshgrid(np.arange(20, 140, 10), np.arange(20, 100, 10))
+    corr0 = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+    corr1 = corr0 - 8.0
+    keep = (corr1 > 4).all(1) & (corr1[:, 0] < 148) & (corr1[:, 1] < 104)
+    corr0, corr1 = corr0[keep], corr1[keep]
+    ids = np.arange(len(corr0), dtype=np.int32)
+    ep = Epoch("2022-05-01 14:01:15",
+               images={"cam1": Image(paths["cam1"]),
+                       "cam2": Image(paths["cam2"])},
+               features={"cam1": Features.from_numpy(corr0, track_ids=ids),
+                         "cam2": Features.from_numpy(corr1, track_ids=ids)})
+    ep_dir = tmp_path / "res" / "epochs" / ep.date_str
+    ep_dir.mkdir(parents=True)
+    ep.save_pickle(ep_dir / f"{ep.date_str}.pickle")
+
+    out = tmp_path / "lg_ft.npz"
+    r = _run(["scripts/finetune_lightglue.py",
+              "--results-dir", str(tmp_path / "res"),
+              "--steps", "4", "--batch", "2", "--n-batches", "2",
+              "--eval-batches", "1", "--max-keypoints", "32",
+              "--n-layers", "2", "--image-scale", "1.0",
+              "--scan-chunk", "2", "--init", "",
+              "--out", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "held-out after" in r.stdout
+    assert out.exists()
