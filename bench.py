@@ -8,16 +8,18 @@ geometric verification included. We run EXHAUSTIVE tile pairing
 (16 tile pairs — a strict superset of the reference's preselected
 subset) and still report wall time per pair.
 
-Honesty of the timed path (VERDICT.md round-1 weak #2): pretrained
-checkpoints are unavailable here (no network), and random-weight
-matchers only produce matches on 8 px grid-aligned shifts. The second
-frame is therefore an 8-aligned np.roll of the first and the matcher
-runs with filter_threshold=0 (a compare against a constant inside the
-same fused program — identical compute to production). This makes
-RANSAC geometric verification, inlier compaction, and host match
-assembly all run for real inside the measurement, like the
-reference's 16.0 s did. The run aborts rather than report a number if
-putative matches or GV inliers are zero.
+Honesty of the timed path (VERDICT.md round-1 weak #2): official
+pretrained checkpoints are unavailable here (no network); weight-less
+matchers default to the committed self-trained checkpoints
+(weights/*.npz). The second frame is an 8-aligned np.roll of the
+first — a pair construction that yields real matches for both the
+self-trained and (historically) random weights — and the matcher runs
+with filter_threshold=0 (a compare against a constant inside the same
+fused program — identical compute to production). This makes RANSAC
+geometric verification, inlier compaction, and host match assembly
+all run for real inside the measurement, like the reference's 16.0 s
+did. The run aborts rather than report a number if putative matches
+or GV inliers are zero.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline > 1 means faster than the reference.
@@ -49,7 +51,39 @@ def load_pair():
     return img0, img1
 
 
+def _tpu_tunnel_alive() -> bool:
+    """Fail fast instead of hanging: when the axon relay is dead
+    (ports closed, /root/.tpu_init.py gone), jax.devices() blocks
+    FOREVER. Probe the relay's loopback ports before importing any
+    device code. Override with ICEPY4D_BENCH_SKIP_TUNNEL_CHECK=1."""
+    import os
+    import socket
+
+    if os.environ.get("ICEPY4D_BENCH_SKIP_TUNNEL_CHECK"):
+        return True
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat not in ("", "axon"):
+        return True  # explicitly not running through the tunnel
+    for port in (8082, 8083, 8087, 8092, 8093, 8097,
+                 8102, 8103, 8107, 8112, 8113, 8117):
+        try:
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main() -> None:
+    if not _tpu_tunnel_alive():
+        print(json.dumps({
+            "metric": "lightglue_fullres_pair_match",
+            "value": None, "unit": "s/pair", "vs_baseline": None,
+            "error": "axon TPU tunnel dead (relay ports closed); "
+                     "refusing to hang on jax.devices()",
+        }))
+        sys.exit(1)
     from icepy4d_tpu.matching import (
         GeometricVerification,
         LightGlueMatcher,
