@@ -151,6 +151,7 @@ class ImageMatcherBase:
             if path is not None:
                 logger.info(
                     "SuperPoint: bundled self-trained checkpoint %s", path)
+                self._sp_bundled = True
                 return jax.tree.map(jnp.asarray, load_params(path))
         logger.warning("SuperPoint: no checkpoint given — random weights")
         return self._superpoint(self._max_keypoints).init(rng)
@@ -746,11 +747,14 @@ class LightGlueMatcher(ImageMatcherBase):
                     path, n_layers=self.matcher.n_layers)
         else:
             self._matcher_params = None
+            sp_bundled = getattr(self, "_sp_bundled", False)
             if (self.matcher.n_layers == 9 and self.descriptor_dim == 256
-                    and not _force_random_weights(opt)):
+                    and sp_bundled and not _force_random_weights(opt)):
                 # default deployment path: committed self-trained
-                # checkpoint (trained on the bundled SuperPoint's
-                # descriptors — scripts/train_lightglue.py)
+                # checkpoint. Gated on SuperPoint ALSO being the
+                # bundled default — it was trained on exactly those
+                # descriptors; silently pairing it with a custom
+                # extractor would degrade matching with no signal.
                 from icepy4d_tpu.models.convert import (bundled_checkpoint,
                                                         load_params)
 
@@ -762,8 +766,15 @@ class LightGlueMatcher(ImageMatcherBase):
                     self._matcher_params = jax.tree.map(
                         jnp.asarray, load_params(path))
             if self._matcher_params is None:
+                suffix = ""
+                if not sp_bundled and not _force_random_weights(opt):
+                    suffix = (" (bundled LightGlue skipped: it is trained"
+                              " on the bundled SuperPoint's descriptors,"
+                              " but a custom extractor/weights was"
+                              " supplied)")
                 logger.warning(
-                    "LightGlueMatcher: no checkpoint given — random weights")
+                    "LightGlueMatcher: no checkpoint given — random "
+                    "weights%s", suffix)
                 self._matcher_params = self.matcher.init(rng)
 
     def _run_matcher(self, data: dict) -> dict:

@@ -190,11 +190,18 @@ def _topk_peaks(heat: Array, max_keypoints: int,
     (Chebyshev), so every (r, r) cell holds AT MOST ONE nonzero: a
     cell max-pool + in-cell argmax loses nothing, and top_k runs on a
     r*r-times smaller grid. Returns (scores (B,K), kpts (B,K,2) xy).
+
+    Exact-score ties are the one semantic difference: simple_nms keeps
+    BOTH members of an exact tie within the suppression window, and if
+    the two share a cell only the argmax survivor is returned (the old
+    full top_k returned both). Real heatmaps tie only on suppressed
+    zeros. The cell path is used only when it preserves the output
+    capacity K = min(max_keypoints, h*w) (callers pad/bucket on it).
     """
     b, h, w = heat.shape
     c = max(nms_radius, 1)
-    if h % c or w % c or h * w <= max_keypoints:
-        k = min(max_keypoints, h * w)
+    k = min(max_keypoints, h * w)
+    if h % c or w % c or (h // c) * (w // c) < k:
         scores, idx = jax.lax.top_k(heat.reshape(b, -1), k)
         yy = (idx // w).astype(jnp.float32)
         xx = (idx % w).astype(jnp.float32)
@@ -204,7 +211,6 @@ def _topk_peaks(heat: Array, max_keypoints: int,
     cells = cells.reshape(b, hc * wc, c * c)
     cell_max = jnp.max(cells, -1)                      # (B, hc*wc)
     cell_arg = jnp.argmax(cells, -1).astype(jnp.int32)
-    k = min(max_keypoints, hc * wc)
     scores, idx = jax.lax.top_k(cell_max, k)           # (B, K)
     sub = jnp.take_along_axis(cell_arg, idx, 1)
     yy = ((idx // wc) * c + sub // c).astype(jnp.float32)

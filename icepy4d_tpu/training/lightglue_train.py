@@ -381,14 +381,23 @@ def collect_epoch_pairs(results_dir, cams: tuple[str, str] | None = None,
                 break
             g = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
             if image_scale != 1.0:
+                # INTER_AREA: the 4x default downscale aliases badly
+                # under INTER_LINEAR
                 g = cv2.resize(g, (int(round(g.shape[1] * image_scale)),
-                                   int(round(g.shape[0] * image_scale))))
+                                   int(round(g.shape[0] * image_scale))),
+                               interpolation=cv2.INTER_AREA)
             imgs[cam] = g.astype(np.float32) / 255.0
         if imgs is None:
             continue
+
+        def rescale(xy):
+            # cv2 pixel-center convention: source x maps to
+            # (x + 0.5) * s - 0.5, not x * s (0.375 px bias at s=0.25)
+            return ((xy + 0.5) * image_scale - 0.5).astype(np.float32)
+
         pairs.append({
             "img0": imgs[c0], "img1": imgs[c1],
-            "corr0": xy0 * image_scale, "corr1": xy1 * image_scale,
+            "corr0": rescale(xy0), "corr1": rescale(xy1),
         })
     return pairs
 
@@ -418,7 +427,6 @@ def make_correspondence_dataset(
     unmatchable (their true status is unknown). All shapes static:
     (n_batches, batch, n_kpts, ...)."""
     n_samples = n_batches * batch
-    sizes, feats = [], []
     # per-pair device work ONCE: full detection + a descriptor pass over
     # all its correspondences (samples then just gather host-side)
     per_pair = []
@@ -466,15 +474,17 @@ def make_correspondence_dataset(
             kpts[n_pos:n_pos + n_neg] = e["det_xy"][dv[:n_neg]]
             desc[n_pos:n_pos + n_neg] = e["det_desc"][dv[:n_neg]]
             mask[n_pos:n_pos + n_neg] = True
-            # a detection near a USED correspondence has a plausible
-            # partner in the other view -> unknown status, not dustbin
+            # a detection near ANY tracked correspondence (selected or
+            # not) has a real partner in the other view -> unknown
+            # status, never dustbin-supervised (comparing only against
+            # the sampled subset would push true matches into the
+            # dustbin whenever n_corr >> n_pos)
+            unm = np.zeros((n_kpts,), bool)
             if n_neg:
                 d2 = np.sum((kpts[n_pos:n_pos + n_neg, None, :]
-                             - kpts[None, :n_pos, :]) ** 2, -1)
-                near = (d2.min(1) < neg_margin ** 2) if n_pos else \
-                    np.zeros(n_neg, bool)
-            unm = np.zeros((n_kpts,), bool)
-            unm[n_pos:n_pos + n_neg] = ~near if n_neg else False
+                             - e["corr"][None, :, :]) ** 2, -1)
+                near = d2.min(1) < neg_margin ** 2
+                unm[n_pos:n_pos + n_neg] = ~near
             sample[side] = (kpts, desc, mask, unm, e["size"])
         gt0 = np.full((n_kpts,), -1, np.int32)
         gt0[:n_pos] = np.arange(n_pos)

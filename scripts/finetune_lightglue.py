@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--init", default="weights/lightglue_synthetic.npz",
                     help="checkpoint to fine-tune ('' = fresh init)")
     ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--holdout-pairs", type=int, default=1,
+                    help="epoch pairs held out of training entirely "
+                         "and used for the before/after eval (0 = "
+                         "evaluate in-sample, reported as such)")
     ap.add_argument("--out", default="weights/lightglue_finetuned.npz")
     args = ap.parse_args()
 
@@ -80,14 +84,30 @@ def main() -> None:
     sp = SuperPoint(max_keypoints=args.max_keypoints,
                     detection_threshold=0.0005)
     sp_params = jax.tree.map(jnp.asarray, load_params(args.superpoint))
-    ds = make_correspondence_dataset(
-        rng,
-        lambda imgs, kpts: sp.describe_at(sp_params, imgs, kpts),
-        lambda imgs: sp.extract(sp_params, imgs),
-        pairs, n_batches=args.n_batches + args.eval_batches,
-        batch=args.batch, n_kpts=args.max_keypoints)
-    train_ds = {k: v[:args.n_batches] for k, v in ds.items()}
-    eval_ds = {k: v[args.n_batches:] for k, v in ds.items()}
+
+    def build(pair_list, n_batches):
+        return make_correspondence_dataset(
+            rng,
+            lambda imgs, kpts: sp.describe_at(sp_params, imgs, kpts),
+            lambda imgs: sp.extract(sp_params, imgs),
+            pair_list, n_batches=n_batches, batch=args.batch,
+            n_kpts=args.max_keypoints)
+
+    # held-out = whole epoch pairs, never seen in training (same-pair
+    # samples share images/correspondences, so a batch-level split
+    # would leak)
+    n_hold = min(args.holdout_pairs, len(pairs) - 1)
+    if args.holdout_pairs and n_hold < args.holdout_pairs:
+        print(f"only {len(pairs)} pairs: holding out {n_hold}",
+              flush=True)
+    if n_hold > 0:
+        train_ds = build(pairs[:-n_hold], args.n_batches)
+        eval_ds = build(pairs[-n_hold:], args.eval_batches)
+        eval_kind = f"held-out ({n_hold} pairs)"
+    else:
+        train_ds = build(pairs, args.n_batches)
+        eval_ds = build(pairs, args.eval_batches)
+        eval_kind = "IN-SAMPLE (no holdout pairs)"
 
     model = LightGlue(n_layers=args.n_layers)
     params = None
@@ -112,8 +132,8 @@ def main() -> None:
         save_fn=save_intermediate, save_every=args.save_every)
     after = evaluate_matching(model, params, eval_ds)
     if before is not None:
-        print("held-out before:", json.dumps(before))
-    print("held-out after: ", json.dumps(after))
+        print(f"{eval_kind} before:", json.dumps(before))
+    print(f"{eval_kind} after:", json.dumps(after))
 
     save_params(out, params)
     print(f"saved {out}")

@@ -139,13 +139,16 @@ def test_collect_epoch_pairs(tmp_path, shifted_pair):
     assert pr["img0"].shape == (56, 76)  # (120-8, 160-8) * 0.5
     assert len(pr["corr0"]) == n
     # track_id alignment: corr0[i] and corr1[i] are the same track,
-    # whatever the storage order; scaled by 0.5
+    # whatever the storage order; rescaled with cv2's pixel-center
+    # convention x -> (x + 0.5) * s - 0.5
+    exp0 = (corr0 + 0.5) * 0.5 - 0.5
+    exp1 = (corr1 + 0.5) * 0.5 - 0.5
     order = np.lexsort(pr["corr0"].T)
-    ref_order = np.lexsort((corr0 * 0.5).T)
-    np.testing.assert_allclose(pr["corr0"][order],
-                               corr0[ref_order] * 0.5, atol=1e-4)
-    np.testing.assert_allclose(pr["corr1"][order],
-                               corr1[ref_order] * 0.5, atol=1e-4)
+    ref_order = np.lexsort(exp0.T)
+    np.testing.assert_allclose(pr["corr0"][order], exp0[ref_order],
+                               atol=1e-4)
+    np.testing.assert_allclose(pr["corr1"][order], exp1[ref_order],
+                               atol=1e-4)
 
 
 def test_collect_skips_failed_epochs(tmp_path, shifted_pair):
