@@ -477,7 +477,7 @@ def _volume_plots(df, out_dir: Path, fout: str, t_step: int) -> None:
          "daily_diff_norm_cumulated"),
     ):
         fig, ax = plt.subplots()
-        fig.set_tight_layout(True)
+        fig.set_layout_engine("tight")
         ax.plot(df["date_in"], -df[col])
         ax.set_xlabel("day")
         ax.set_ylabel("-dV [$m^3$]")
