@@ -178,6 +178,56 @@ def test_collect_skips_failed_epochs(tmp_path, shifted_pair):
     assert collect_epoch_pairs(tmp_path / "res", min_corr=5) == []
 
 
+FT_CKPT = (Path(__file__).resolve().parents[1] / "weights"
+           / "lightglue_finetuned.npz")
+BASE_CKPT = (Path(__file__).resolve().parents[1] / "weights"
+             / "lightglue_synthetic.npz")
+SP_CKPT = (Path(__file__).resolve().parents[1] / "weights"
+           / "superpoint_synthetic.npz")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not (FT_CKPT.exists() and BASE_CKPT.exists()
+                         and SP_CKPT.exists()),
+                    reason="fine-tuned checkpoint not present")
+def test_finetuned_beats_base_on_real_wide_baseline(assets_dir):
+    """The committed fine-tuned checkpoint must out-match the
+    homography-pretrained one on REAL wide-baseline correspondences it
+    never trained on (tests/data/real_corr_heldout.npz: the held-out
+    epoch of the season fine-tune, SIFT+GCP-verified)."""
+    import cv2
+
+    from icepy4d_tpu.models.convert import load_params
+
+    z = np.load(Path(__file__).parent / "data" / "real_corr_heldout.npz")
+    imgs = {}
+    for side, cam, name in (("img0", "cam0", "img0"),
+                            ("img1", "cam1", "img1")):
+        p = assets_dir / "img" / str(z[cam]) / str(z[name])
+        g = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        assert g is not None, p
+        imgs[side] = g.astype(np.float32) / 255.0
+    pair = {"img0": imgs["img0"], "img1": imgs["img1"],
+            "corr0": z["corr0"], "corr1": z["corr1"]}
+
+    sp = SuperPoint(max_keypoints=512, detection_threshold=0.0005)
+    sp_params = jax.tree.map(jnp.asarray, load_params(SP_CKPT))
+    rng = np.random.default_rng(11)
+    ds = make_correspondence_dataset(
+        rng,
+        lambda im, kp: sp.describe_at(sp_params, im, kp),
+        lambda im: sp.extract(sp_params, im),
+        [pair], n_batches=2, batch=2, n_kpts=512)
+
+    model = LightGlue(filter_threshold=0.1)
+    base = evaluate_matching(
+        model, jax.tree.map(jnp.asarray, load_params(BASE_CKPT)), ds)
+    ft = evaluate_matching(
+        model, jax.tree.map(jnp.asarray, load_params(FT_CKPT)), ds)
+    assert ft["recall"] > base["recall"] + 0.05, (base, ft)
+    assert ft["recall"] > 0.15, (base, ft)
+
+
 @pytest.mark.slow
 def test_explicit_gt_training_learns():
     """A tiny LightGlue trained on explicit-GT correspondence batches
