@@ -60,6 +60,7 @@ __all__ = [
     "make_lightglue_dataset",
     "collect_epoch_pairs",
     "make_correspondence_dataset",
+    "homography_to_explicit",
     "train_lightglue",
     "evaluate_matching",
 ]
@@ -502,6 +503,28 @@ def make_correspondence_dataset(
     stacked = {k: np.stack(v) for k, v in out.items()}
     return {k: v.reshape(n_batches, batch, *v.shape[1:])
             for k, v in stacked.items()}
+
+
+def homography_to_explicit(ds: dict, pos_th: float = 3.0,
+                           neg_th: float = 6.0) -> dict:
+    """Convert a homography-supervised dataset (make_lightglue_dataset)
+    to the explicit-GT format, so it can be concatenated with real
+    correspondence batches (make_correspondence_dataset) for mixed
+    training — the homography half regularizes a small-season
+    fine-tune against memorizing its few real pairs."""
+    gt0, unm0, unm1 = jax.tree.map(np.asarray, gt_assignment(
+        jnp.asarray(ds["kpts0"].reshape(-1, *ds["kpts0"].shape[2:])),
+        jnp.asarray(ds["kpts1"].reshape(-1, *ds["kpts1"].shape[2:])),
+        jnp.asarray(ds["H"].reshape(-1, 3, 3)),
+        jnp.asarray(ds["mask0"].reshape(-1, ds["mask0"].shape[-1])),
+        jnp.asarray(ds["mask1"].reshape(-1, ds["mask1"].shape[-1])),
+        pos_th, neg_th))
+    nb, b = ds["H"].shape[:2]
+    out = {k: v for k, v in ds.items() if k != "H"}
+    out["gt0"] = gt0.reshape(nb, b, -1)
+    out["unm0"] = unm0.reshape(nb, b, -1)
+    out["unm1"] = unm1.reshape(nb, b, -1)
+    return out
 
 
 def train_lightglue(

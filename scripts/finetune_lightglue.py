@@ -57,6 +57,14 @@ def main() -> None:
                     help="epoch pairs held out of training entirely "
                          "and used for the before/after eval (0 = "
                          "evaluate in-sample, reported as such)")
+    ap.add_argument("--mix-homography", type=int, default=0,
+                    help="additionally interleave N freshly-built "
+                         "homography-supervised batches (same shapes) "
+                         "— regularizes a small-season fine-tune "
+                         "against memorizing its few real pairs")
+    ap.add_argument("--real-image-dir", default="",
+                    help="real frames for the homography-mix patch "
+                         "pool ('' = synthetic canvases only)")
     ap.add_argument("--out", default="weights/lightglue_finetuned.npz")
     args = ap.parse_args()
 
@@ -108,6 +116,32 @@ def main() -> None:
         train_ds = build(pairs, args.n_batches)
         eval_ds = build(pairs, args.eval_batches)
         eval_kind = "IN-SAMPLE (no holdout pairs)"
+
+    if args.mix_homography > 0:
+        from icepy4d_tpu.training.lightglue_train import (
+            homography_to_explicit, make_lightglue_dataset)
+        from icepy4d_tpu.training.synthetic import load_real_patch_pool
+
+        pool = (load_real_patch_pool(args.real_image_dir)
+                if args.real_image_dir else None)
+        # same (batch, n_kpts) shapes as the real batches so the two
+        # halves concatenate into one scan-able dataset
+        homog = make_lightglue_dataset(
+            rng, lambda imgs: sp.extract(sp_params, imgs),
+            n_batches=args.mix_homography, batch=args.batch,
+            h=240, w=320, real_pool=pool)
+        homog = homography_to_explicit(homog)
+        assert homog["kpts0"].shape[1:] == train_ds["kpts0"].shape[1:]
+        train_ds = {k: np.concatenate([train_ds[k], homog[k]])
+                    for k in train_ds}
+        # interleave: scan walks batches in order, so alternate domains
+        n_tot = train_ds["gt0"].shape[0]
+        order = np.argsort(
+            [i % args.n_batches + (0.5 if i >= args.n_batches else 0.0)
+             for i in range(n_tot)], kind="stable")
+        train_ds = {k: v[order] for k, v in train_ds.items()}
+        print(f"mixed in {args.mix_homography} homography batches "
+              f"({n_tot} total)", flush=True)
 
     model = LightGlue(n_layers=args.n_layers)
     params = None

@@ -8,6 +8,8 @@ verified wide-baseline correspondences; no reference counterpart (the
 reference downloads fixed checkpoints and never trains).
 """
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -176,6 +178,29 @@ def test_collect_skips_failed_epochs(tmp_path, shifted_pair):
     ep_dir.mkdir(parents=True)
     ep.save_pickle(ep_dir / f"{ep.date_str}.pickle")
     assert collect_epoch_pairs(tmp_path / "res", min_corr=5) == []
+
+
+def test_homography_to_explicit_matches_gt_assignment(sp_and_params):
+    """Converted homography batches carry exactly the supervision the
+    homography loss path would compute (enables mixed training)."""
+    from icepy4d_tpu.training.lightglue_train import (
+        gt_assignment, homography_to_explicit, make_lightglue_dataset)
+
+    sp, params = sp_and_params
+    rng = np.random.default_rng(2)
+    ds = make_lightglue_dataset(
+        rng, lambda imgs: sp.extract(params, imgs),
+        n_batches=2, batch=2, h=120, w=160, extract_chunk=4)
+    ex = homography_to_explicit(ds)
+    assert "H" not in ex
+    assert ex["gt0"].shape == (2, 2, ds["kpts0"].shape[2])
+    g_ref, u0_ref, u1_ref = jax.tree.map(np.asarray, gt_assignment(
+        jnp.asarray(ds["kpts0"][1]), jnp.asarray(ds["kpts1"][1]),
+        jnp.asarray(ds["H"][1]), jnp.asarray(ds["mask0"][1]),
+        jnp.asarray(ds["mask1"][1])))
+    np.testing.assert_array_equal(ex["gt0"][1], g_ref)
+    np.testing.assert_array_equal(ex["unm0"][1], u0_ref)
+    np.testing.assert_array_equal(ex["unm1"][1], u1_ref)
 
 
 FT_CKPT = (Path(__file__).resolve().parents[1] / "weights"
