@@ -612,7 +612,8 @@ def evaluate_matching(model: LightGlue, params: dict, dataset: dict,
     dataset's homography, or its explicit gt0 when present)."""
     B = (next(iter(dataset.values())).shape[0]
          if n_batches is None else n_batches)
-    tp = fp = n_gt = 0
+    tp = fp = n_gt = fp_labeled = 0
+    has_unm = "unm0" in dataset
     for i in range(B):
         batch = jax.tree.map(lambda a: jnp.asarray(a[i]), dataset)
         out = model.match(params, {k: batch[k] for k in (
@@ -627,10 +628,20 @@ def evaluate_matching(model: LightGlue, params: dict, dataset: dict,
         m0 = np.asarray(out["matches0"])
         g = np.asarray(gt0)
         pred = m0 >= 0
+        wrong = pred & (m0 != g)
         tp += int(((m0 == g) & pred & (g >= 0)).sum())
-        fp += int((pred & (m0 != g)).sum())
+        fp += int(wrong.sum())
         n_gt += int((g >= 0).sum())
+        if has_unm:
+            # rows with UNKNOWN status (not GT-matched, not verified
+            # unmatchable) cannot be judged; exclude them from the
+            # labeled precision (they still count in raw precision)
+            known = (g >= 0) | np.asarray(batch["unm0"])
+            fp_labeled += int((wrong & known).sum())
     precision = tp / max(tp + fp, 1)
     recall = tp / max(n_gt, 1)
-    return {"precision": precision, "recall": recall,
-            "n_gt": n_gt, "n_pred": tp + fp}
+    out_d = {"precision": precision, "recall": recall,
+             "n_gt": n_gt, "n_pred": tp + fp}
+    if has_unm:
+        out_d["precision_labeled"] = tp / max(tp + fp_labeled, 1)
+    return out_d
