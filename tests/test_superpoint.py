@@ -125,3 +125,37 @@ def test_static_shapes_and_jit_cache():
     assert out["keypoints"].shape == (3, 128, 2)
     assert out["descriptors"].shape == (3, 128, 256)
     assert out["mask"].shape == (3, 128)
+
+
+def test_topk_peaks_exact_vs_full_topk():
+    """The NMS-cell top-k fast path returns exactly the full top_k
+    result (values AND positions) on suppressed heatmaps, and
+    preserves the output capacity on small images (fallback path)."""
+    import jax.numpy as jnp
+
+    from icepy4d_tpu.models.superpoint import _topk_peaks, simple_nms
+
+    rng = np.random.default_rng(3)
+    heat = jnp.asarray(rng.uniform(size=(2, 96, 128)), jnp.float32)
+    heat = simple_nms(heat, 4)
+
+    k = 200
+    scores, kpts = _topk_peaks(heat, k, 4)
+    flat = np.asarray(heat).reshape(2, -1)
+    ref_scores = np.sort(flat, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(np.asarray(scores), ref_scores,
+                               atol=0.0)
+    # every returned position carries its claimed score
+    kp = np.asarray(kpts).astype(int)
+    for b in range(2):
+        got = np.asarray(heat)[b, kp[b, :, 1], kp[b, :, 0]]
+        np.testing.assert_allclose(got, np.asarray(scores)[b], atol=0.0)
+    # positive positions are unique
+    for b in range(2):
+        pos = np.asarray(scores[b]) > 0
+        ids = kp[b, pos, 1] * 128 + kp[b, pos, 0]
+        assert len(np.unique(ids)) == pos.sum()
+
+    # capacity preserved when the cell grid is smaller than K
+    s2, k2 = _topk_peaks(heat, 4096, 4)
+    assert s2.shape == (2, 4096) and k2.shape == (2, 4096, 2)
