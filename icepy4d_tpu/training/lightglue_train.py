@@ -511,8 +511,13 @@ def homography_to_explicit(ds: dict, pos_th: float = 3.0,
     to the explicit-GT format, so it can be concatenated with real
     correspondence batches (make_correspondence_dataset) for mixed
     training — the homography half regularizes a small-season
-    fine-tune against memorizing its few real pairs."""
-    gt0, unm0, unm1 = jax.tree.map(np.asarray, gt_assignment(
+    fine-tune against memorizing its few real pairs.
+
+    One jitted dispatch: eager per-op execution through a remote-TPU
+    tunnel costs ~0.1-1 s per op (and the pairwise-distance tensor is
+    large), while the inputs/outputs here are small numpy arrays."""
+    gt0, unm0, unm1 = jax.tree.map(np.asarray, jax.jit(
+        gt_assignment, static_argnums=(5, 6))(
         jnp.asarray(ds["kpts0"].reshape(-1, *ds["kpts0"].shape[2:])),
         jnp.asarray(ds["kpts1"].reshape(-1, *ds["kpts1"].shape[2:])),
         jnp.asarray(ds["H"].reshape(-1, 3, 3)),
@@ -607,9 +612,19 @@ def train_lightglue(
 
 def evaluate_matching(model: LightGlue, params: dict, dataset: dict,
                       n_batches: int | None = None,
-                      filter_threshold: float = 0.1):
+                      filter_threshold: float | None = None):
     """Held-out precision/recall of mutual-max matches vs GT (from the
-    dataset's homography, or its explicit gt0 when present)."""
+    dataset's homography, or its explicit gt0 when present).
+
+    filter_threshold overrides the model's confidence filter for this
+    evaluation (None = use the model's own; models hash by config, so
+    the override gets its own jit cache entry)."""
+    if filter_threshold is not None and \
+            filter_threshold != model.filter_threshold:
+        import copy
+
+        model = copy.copy(model)
+        model.filter_threshold = float(filter_threshold)
     B = (next(iter(dataset.values())).shape[0]
          if n_batches is None else n_batches)
     tp = fp = n_gt = fp_labeled = 0

@@ -134,11 +134,18 @@ def main() -> None:
         assert homog["kpts0"].shape[1:] == train_ds["kpts0"].shape[1:]
         train_ds = {k: np.concatenate([train_ds[k], homog[k]])
                     for k in train_ds}
-        # interleave: scan walks batches in order, so alternate domains
-        n_tot = train_ds["gt0"].shape[0]
-        order = np.argsort(
-            [i % args.n_batches + (0.5 if i >= args.n_batches else 0.0)
-             for i in range(n_tot)], kind="stable")
+        # interleave: scan walks batches in order, so spread the
+        # homography batches EVENLY through the real ones (keys at
+        # (j+0.5)*R/H land between real keys 0..R-1 uniformly for any
+        # mix ratio — clustering them at the front would leave most of
+        # each epoch unregularized)
+        n_real = args.n_batches
+        keys = np.concatenate([
+            np.arange(n_real, dtype=np.float64),
+            (np.arange(args.mix_homography) + 0.5)
+            * n_real / args.mix_homography])
+        order = np.argsort(keys, kind="stable")
+        n_tot = len(keys)
         train_ds = {k: v[order] for k, v in train_ds.items()}
         print(f"mixed in {args.mix_homography} homography batches "
               f"({n_tot} total)", flush=True)
