@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--init", default="weights/lightglue_synthetic.npz",
                     help="checkpoint to fine-tune ('' = fresh init)")
     ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--no-keep-best", action="store_true",
+                    help="disable held-out-based best-checkpoint "
+                         "keeping (default on when pairs are held "
+                         "out: periodic saves evaluate and only "
+                         "improvements overwrite --out)")
     ap.add_argument("--holdout-pairs", type=int, default=1,
                     help="epoch pairs held out of training entirely "
                          "and used for the before/after eval (0 = "
@@ -159,10 +164,33 @@ def main() -> None:
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
 
-    def save_intermediate(p, step):
+    def write_ckpt(p):
         tmp = out.with_suffix(".tmp.npz")
         save_params(tmp, p)
         tmp.replace(out)
+
+    # keep-best: the measured failure mode of small-season fine-tunes
+    # is LATE-stage memorization (a mid-run snapshot transferred better
+    # than the final model), so every periodic save evaluates on the
+    # held-out pairs and only an improvement overwrites --out
+    keep_best = n_hold > 0 and not args.no_keep_best
+    best = {"score": -1.0, "step": None}
+
+    def eval_score(p):
+        rep = evaluate_matching(model, p, eval_ds, filter_threshold=0.0)
+        return rep["recall"] + rep.get("precision_labeled",
+                                       rep["precision"]), rep
+
+    def save_intermediate(p, step):
+        if keep_best:
+            score, rep = eval_score(p)
+            print(f"step {step}: held-out recall {rep['recall']:.4f} "
+                  f"P_lab {rep.get('precision_labeled', 0.0):.4f}",
+                  flush=True)
+            if score <= best["score"]:
+                return
+            best.update(score=score, step=step)
+        write_ckpt(p)
         print(f"checkpointed step {step} -> {out}", flush=True)
 
     before = evaluate_matching(model, params, eval_ds) \
@@ -176,8 +204,16 @@ def main() -> None:
         print(f"{eval_kind} before:", json.dumps(before))
     print(f"{eval_kind} after:", json.dumps(after))
 
-    save_params(out, params)
-    print(f"saved {out}")
+    if keep_best:
+        score, _ = eval_score(params)
+        if score > best["score"]:
+            best.update(score=score, step=args.steps)
+            write_ckpt(params)
+        print(f"saved {out} (best held-out checkpoint: "
+              f"step {best['step']})")
+    else:
+        write_ckpt(params)
+        print(f"saved {out}")
 
 
 if __name__ == "__main__":
