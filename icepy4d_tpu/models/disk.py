@@ -175,7 +175,9 @@ class DISK:
 
         k = min(self.max_keypoints, h * w)
         flat = score.reshape(b, -1)
-        scores, idx = jax.lax.top_k(flat, k)
+        from icepy4d_tpu.ops.topk import safe_top_k
+
+        scores, idx = safe_top_k(flat, k)
         mask = jnp.isfinite(scores)
         kpts = jnp.stack([(idx % w).astype(jnp.float32),
                           (idx // w).astype(jnp.float32)], -1)

@@ -211,7 +211,9 @@ class SIFT:
         resp = jnp.where(is_ext, jnp.abs(mid), 0.0)   # (B*s, H, W)
         k_top = self.max_keypoints
         flat = resp.reshape(b, -1)
-        top_resp, top_idx = jax.lax.top_k(flat, k_top)
+        from icepy4d_tpu.ops.topk import safe_top_k
+
+        top_resp, top_idx = safe_top_k(flat, k_top)
         si = top_idx // (h * w)
         yi = (top_idx // w) % h
         xi = top_idx % w
@@ -467,7 +469,9 @@ class SIFT:
         valid = jnp.concatenate(all_v, 1)
 
         # global static top-K by response
-        top_s, top_i = jax.lax.top_k(scores, self.max_keypoints)
+        from icepy4d_tpu.ops.topk import safe_top_k
+
+        top_s, top_i = safe_top_k(scores, self.max_keypoints)
         gather = lambda a: jnp.take_along_axis(
             a, top_i[..., None] if a.ndim == 3 else top_i, 1)
         kpts = gather(kpts)

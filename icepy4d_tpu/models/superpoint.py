@@ -198,11 +198,13 @@ def _topk_peaks(heat: Array, max_keypoints: int,
     zeros. The cell path is used only when it preserves the output
     capacity K = min(max_keypoints, h*w) (callers pad/bucket on it).
     """
+    from icepy4d_tpu.ops.topk import safe_top_k
+
     b, h, w = heat.shape
     c = max(nms_radius, 1)
     k = min(max_keypoints, h * w)
     if h % c or w % c or (h // c) * (w // c) < k:
-        scores, idx = jax.lax.top_k(heat.reshape(b, -1), k)
+        scores, idx = safe_top_k(heat.reshape(b, -1), k)
         yy = (idx // w).astype(jnp.float32)
         xx = (idx % w).astype(jnp.float32)
         return scores, jnp.stack([xx, yy], -1)
@@ -211,7 +213,7 @@ def _topk_peaks(heat: Array, max_keypoints: int,
     cells = cells.reshape(b, hc * wc, c * c)
     cell_max = jnp.max(cells, -1)                      # (B, hc*wc)
     cell_arg = jnp.argmax(cells, -1).astype(jnp.int32)
-    scores, idx = jax.lax.top_k(cell_max, k)           # (B, K)
+    scores, idx = safe_top_k(cell_max, k)              # (B, K)
     sub = jnp.take_along_axis(cell_arg, idx, 1)
     yy = ((idx // wc) * c + sub // c).astype(jnp.float32)
     xx = ((idx % wc) * c + sub % c).astype(jnp.float32)
