@@ -141,16 +141,18 @@ class ImageMatcherBase:
 
             return load_torch_superpoint(path)
         kind = str(opt.get("extractor", "superpoint")).lower()
-        if kind == "superpoint" and not _force_random_weights(opt):
+        if kind in ("superpoint", "aliked") and not _force_random_weights(opt):
             # default deployment path: the committed self-trained
             # checkpoint (the official one is not downloadable offline)
             from icepy4d_tpu.models.convert import (bundled_checkpoint,
                                                     load_params)
 
-            path = bundled_checkpoint("superpoint_synthetic.npz")
+            path = bundled_checkpoint(
+                {"superpoint": "superpoint_synthetic.npz",
+                 "aliked": "aliked_synthetic.npz"}[kind])
             if path is not None:
                 logger.info(
-                    "SuperPoint: bundled self-trained checkpoint %s", path)
+                    "%s: bundled self-trained checkpoint %s", kind, path)
                 self._sp_bundled = True
                 return jax.tree.map(jnp.asarray, load_params(path))
         logger.warning("SuperPoint: no checkpoint given — random weights")
@@ -254,6 +256,16 @@ class ImageMatcherBase:
                     detection_threshold=key[2],
                     nms_radius=max(key[3] // 2, 2),
                 )
+            elif kind == "aliked":
+                from icepy4d_tpu.models.aliked import ALIKED
+
+                self._sp_cache[key] = ALIKED(
+                    max_keypoints=key[1],
+                    detection_threshold=key[2],
+                    nms_radius=max(key[3] // 2, 2),
+                    precision=key[4],
+                    dtype=jnp.dtype(key[5]),
+                )
             else:
                 import jax.numpy as _jnp
 
@@ -269,7 +281,7 @@ class ImageMatcherBase:
     @property
     def descriptor_dim(self) -> int:
         kind = str(self._opt.get("extractor", "superpoint")).lower()
-        return 128 if kind in ("disk", "sift") else 256
+        return 128 if kind in ("disk", "sift", "aliked") else 256
 
     @staticmethod
     def _to_gray_device(image: np.ndarray) -> jnp.ndarray:
