@@ -403,7 +403,65 @@ class Pipeline:
             else:
                 logger.warning("epoch %s: not enough targets for AO",
                                epoch.date_str)
+
+        # per-camera space resection on targets (ref config
+        # proc.do_space_resection, config/config_2022.yaml:30 +
+        # sfm/absolute_orientation.py:18-50 Space_resection): re-pin
+        # each camera's WORLD pose directly from its visible surveyed
+        # targets, overriding the relative+Helmert chain. Runs after AO
+        # so pts3d and the resected poses share the world frame.
+        if bool(self.cfg.get("proc", DotDict()).get(
+                "do_space_resection", False)):
+            self._space_resection(epoch, centers)
         return np.asarray(pts3d)
+
+    def _space_resection(self, epoch: Epoch, centers) -> None:
+        """Orient each camera in world space from its visible targets:
+        full 6-DoF PnP RANSAC (sfm.SpaceResection) when >= 4 targets are
+        seen, else the 3-DoF bearing resection from the surveyed camera
+        center (sfm.pose_from_known_center) when >= 2 are. Cameras with
+        fewer observations keep their AO pose."""
+        from icepy4d_tpu.sfm import SpaceResection, pose_from_known_center
+
+        if epoch.targets is None:
+            return
+        world_df = epoch.targets.obj_coor
+        if world_df is None:
+            return
+        labels = list(world_df["label"])
+        t_world, found = epoch.targets.get_object_coor_by_label(labels)
+        for i, c in enumerate(self.cams):
+            xy, f2 = epoch.targets.get_image_coor_by_label(found, i)
+            w_sel = t_world[[found.index(l) for l in f2]]
+            try:
+                if len(f2) >= 2 and centers is not None:
+                    # fixed-station setup: the surveyed center leaves
+                    # only the 3-DOF rotation — exact and robust on the
+                    # 3-4 clustered GCPs a glacier site has, where the
+                    # reference's cv2.solvePnPRansac is ill-conditioned
+                    epoch.cameras[c] = pose_from_known_center(
+                        epoch.cameras[c], np.asarray(centers[i]),
+                        xy, w_sel)
+                elif len(f2) >= 6:
+                    # full 6-DOF PnP RANSAC (DLT minimal sample = 6)
+                    sr = SpaceResection(epoch.cameras[c])
+                    epoch.cameras[c] = sr.estimate(
+                        xy, w_sel,
+                        reprojection_error=float(self.cfg.get(
+                            "other", {}).get("pydegensac_threshold", 3.0)))
+                else:
+                    logger.warning(
+                        "epoch %s: space resection of %s skipped "
+                        "(%d targets visible)", epoch.date_str, c,
+                        len(f2))
+                    continue
+                epoch.quality["stats"][f"resection_targets_{c}"] = len(f2)
+                logger.info("epoch %s: %s space-resected from %d targets",
+                            epoch.date_str, c, len(f2))
+            except Exception as e:
+                logger.warning("epoch %s: space resection of %s failed: "
+                               "%s — keeping AO pose", epoch.date_str,
+                               c, e)
 
     def _bundle_epoch(self, epoch: Epoch, pts3d: np.ndarray) -> np.ndarray:
         ba_cfg = self.cfg.get("ba", DotDict())
@@ -930,7 +988,45 @@ class Pipeline:
             self._prefetched.clear()
             self._active_prefetch = None
         self.summarize_quality()
+        if bool(proc.get("do_homography_warping", False)):
+            self._homography_warping()
         return self.epoches
+
+    def _homography_warping(self) -> None:
+        """Post-season homography warping for DIC (ref
+        main_dev.py:434-493): warp proc.camera_to_warp's image of every
+        epoch onto the reference epoch's orientation with median-
+        smoothed per-epoch rotations; PNG/JPGs land in
+        results_dir/warped. Reference epoch: proc.warping_reference_day
+        (a date string, like the reference's "2022_07_28") or
+        proc.warping_reference_epoch (an index, default 0)."""
+        from icepy4d_tpu.utils.homography import homography_warping
+
+        proc = self.cfg.get("proc", DotDict())
+        cam = proc.get("camera_to_warp", None) or self.cams[-1]
+        if cam not in self.cams:
+            logger.warning("camera_to_warp %r unknown (cams: %s) — "
+                           "skipping warping", cam, self.cams)
+            return
+        ref = int(proc.get("warping_reference_epoch", 0))
+        day = proc.get("warping_reference_day", None)
+        if day is not None:
+            # the reference keys by DAY ("2022_07_28", main_dev.py:443);
+            # our epochs carry full timestamps — match on the day prefix
+            want = str(day).replace("_", "-").replace(":", "-")[:10]
+            rid = next((eid for eid in sorted(self.epoches._epochs)
+                        if self.epoches[eid].date_str[:10] == want), None)
+            if rid is None:
+                logger.warning(
+                    "warping_reference_day %s not in the season — "
+                    "using epoch %d", day, ref)
+            else:
+                ref = rid
+        logger.info("homography warping of %s onto epoch %d", cam, ref)
+        homography_warping(
+            self.epoches, cam, reference_epoch=ref,
+            smooth_window=int(proc.get("warping_smooth_window", 2)),
+            out_dir=self.results_dir / "warped")
 
     def summarize_quality(self) -> dict:
         """Season-level quality summary: per-status epoch counts plus

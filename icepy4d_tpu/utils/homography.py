@@ -70,8 +70,12 @@ def homography_warping(
 
     eids = sorted(epoches._epochs.keys())
     cams = [epoches[e].cameras[camera_to_warp] for e in eids]
+    # angles of the world-to-camera R itself (ref main_dev.py:470:
+    # euler_from_matrix(cameras[cam].R)) — NOT Camera.euler_angles,
+    # which describes R.T and would write a transposed matrix back
     angles = np.stack([
-        np.array([float(np.asarray(a)) for a in c.euler_angles])
+        np.array([float(np.asarray(a)) for a in
+                  euler_from_matrix(jnp.asarray(c.R))])
         for c in cams])
     sm = smooth_euler_angles(angles, window=smooth_window)
 

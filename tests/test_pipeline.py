@@ -422,3 +422,84 @@ def test_pipeline_real_assets_quality_summary(cfg):
                 np.asarray(ep.cameras[c].extrinsics)).all()
         if "ba_rmse_px" in ep.quality["stats"]:
             assert np.isfinite(ep.quality["stats"]["ba_rmse_px"])
+
+
+def test_pipeline_space_resection_and_warping_flags(cfg, tmp_path):
+    """proc.do_space_resection + proc.do_homography_warping /
+    camera_to_warp (ref config_2022.yaml:30,44-45 + main_dev.py:434-493):
+    the season driver consumes the reference YAML keys — each camera's
+    world pose is re-pinned from its visible targets after AO, and the
+    post-season warping step writes a stabilized image per epoch."""
+    import copy
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    wcfg = DotDict.wrap(copy.deepcopy(dict(cfg)))
+    wcfg.paths.results_dir = str(tmp_path / "res")
+    wcfg.proc.load_existing_results = False
+    wcfg.proc.save_checkpoints = False
+    wcfg.proc.do_space_resection = True
+    wcfg.proc.do_homography_warping = True
+    wcfg.proc.camera_to_warp = "cam2"
+    wcfg.proc.warping_reference_epoch = 0
+
+    pipe = Pipeline(wcfg)
+    eps = list(pipe.run())
+    assert len(eps) == 2
+
+    # resection consumed the targets (3 visible + surveyed centers ->
+    # bearing-resection branch) and recorded the per-camera stat
+    for ep in eps:
+        for c in ("cam1", "cam2"):
+            assert ep.quality["stats"].get(
+                f"resection_targets_{c}", 0) >= 2
+            assert np.isfinite(
+                np.asarray(ep.cameras[c].extrinsics)).all()
+            # resected center must stay near the surveyed center (the
+            # bearing resection pins it exactly)
+        c1 = np.asarray(eps[0].cameras["cam1"].C).ravel()
+        np.testing.assert_allclose(
+            c1, [151.962, 99.065, 91.643], atol=1e-3)
+
+    # warped images on disk, one per epoch, same shape as the source
+    from pathlib import Path
+
+    warped = sorted((Path(wcfg.paths.results_dir) / "warped").glob("*"))
+    assert len(warped) == 2
+    import cv2
+
+    im = cv2.imread(str(warped[0]))
+    src = eps[0].images["cam2"].value
+    assert im.shape[:2] == src.shape[:2]
+    # the reference epoch's own warp is near-identity: content must
+    # survive (a convention bug once produced all-black warps)
+    assert (im > 0).mean() > 0.5
+
+
+def test_pipeline_warping_reference_day(cfg, tmp_path):
+    """warping_reference_day accepts the reference's day-string form
+    ("2022_05_01", main_dev.py:443) and resolves it to the epoch whose
+    date matches."""
+    import copy
+
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.utils.config import DotDict
+
+    wcfg = DotDict.wrap(copy.deepcopy(dict(cfg)))
+    wcfg.paths.results_dir = str(tmp_path / "res")
+    wcfg.proc.load_existing_results = False
+    wcfg.proc.save_checkpoints = False
+    pipe = Pipeline(wcfg)
+    eps = list(pipe.run())
+    day = eps[1].date_str[:10].replace("-", "_")
+    wcfg.proc.warping_reference_day = day
+    wcfg.proc.camera_to_warp = "cam1"
+    wcfg.proc.do_homography_warping = True
+    pipe2 = Pipeline(wcfg)
+    pipe2.epoches = eps if hasattr(eps, "_epochs") else pipe.epoches
+    pipe2._homography_warping()
+    from pathlib import Path
+
+    warped = sorted((Path(wcfg.paths.results_dir) / "warped").glob("*"))
+    assert len(warped) == 2
