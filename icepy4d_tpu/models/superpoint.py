@@ -57,41 +57,61 @@ def _s2d_tap_table() -> "np.ndarray":
     return M
 
 
-class _GrayConv3x3(nn.Module):
-    """First 3x3 conv (C_in=1) computed in space-to-depth form.
+def _space_to_depth(x: Array) -> Array:
+    """(B, H, W, 1) -> (B, H/2, W/2, 4) with phase order py*2+px."""
+    b, h, w, _ = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2).transpose(0, 1, 3, 2, 4)
+    return xs.reshape(b, h // 2, w // 2, 4)
+
+
+class _S2DConv3x3(nn.Module):
+    """Full-resolution 3x3 conv computed in space-to-depth form.
 
     A direct 1-channel conv runs at <1 TFLOP/s on the MXU (measured
     36 ms of the 85 ms full-res trunk): the systolic array needs a
-    contraction dimension. Folding 2x2 pixels into 4 channels and
-    scattering the 9 taps into an equivalent (3,3,4,4C) kernel is
-    bit-equivalent math (zero padding included; verified to 2e-6
-    against lax.conv at f32) and runs ~MXU speed. Param layout is
-    identical to nn.Conv (kernel (3,3,1,C), bias (C,)) so torch
-    checkpoints load unchanged. H and W must be even (the caller pads
-    to the 8-px cell grid anyway)."""
+    contraction dimension. Folding 2x2 pixels into 4 phase channels
+    and scattering the 9 taps into an equivalent (3,3,4*Cin,4*Cout)
+    kernel is bit-equivalent math (zero padding included; each routed
+    entry maps exactly one tap, no re-summation). Input AND output stay
+    in s2d layout (B, H/2, W/2, 4*C with phase-major channel order) —
+    round-tripping 24-MP activations through pixel layout costs two
+    materialized multi-GB transposes (the round-3 full-res HBM OOM) and
+    is pure waste when the next op is another full-res conv or the 2x2
+    max pool (a phase-max in this layout). Param layout is identical to
+    nn.Conv (kernel (3,3,Cin,Cout), bias (Cout,)) so torch checkpoints
+    load unchanged. The FLOP cost is 4x the pixel-space conv (the 3x3
+    cell window spans a 6x6-px receptive field, three-quarters routed
+    zeros) — MXU cycles traded for never touching full-res HBM, a win
+    at 24 MP (measured; see bench device_step)."""
 
-    features: int
+    cin: int
+    cout: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        c = self.features
+    def __call__(self, xs: Array) -> Array:
+        ci, co = self.cin, self.cout
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, c))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        b, h, w, _ = x.shape
-        xs = x.reshape(b, h // 2, 2, w // 2, 2).transpose(0, 1, 3, 2, 4)
-        xs = xs.reshape(b, h // 2, w // 2, 4).astype(self.dtype)
-        Wk = jnp.einsum("abpqyx,yxic->abpqc",
+            "kernel", nn.initializers.lecun_normal(), (3, 3, ci, co))
+        bias = self.param("bias", nn.initializers.zeros, (co,))
+        # W[cy,cx, p*ci+i, q*co+c]: exactly one (dy,dx) tap routes to
+        # each slot, so this is placement, not accumulation
+        Wk = jnp.einsum("abpqyx,yxic->abpiqc",
                         jnp.asarray(_s2d_tap_table()),
                         kernel.astype(jnp.float32))
-        Wk = Wk.reshape(3, 3, 4, 4 * c).astype(self.dtype)
+        Wk = Wk.reshape(3, 3, 4 * ci, 4 * co).astype(self.dtype)
         out = jax.lax.conv_general_dilated(
-            xs, Wk, (1, 1), "SAME",
+            xs.astype(self.dtype), Wk, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        out = out.reshape(b, h // 2, w // 2, 2, 2, c)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
-        return out + bias.astype(self.dtype)
+        return out + jnp.tile(bias, 4).astype(self.dtype)
+
+
+def _phase_max(x: Array) -> Array:
+    """2x2/stride-2 max pool of an s2d-layout tensor: the four phases
+    of a cell ARE its 2x2 full-res block, so the pool is a channel-
+    group max — no spatial reshuffle at all."""
+    b, h2, w2, c4 = x.shape
+    return x.reshape(b, h2, w2, 4, c4 // 4).max(3)
 
 
 def _max_pool2(x: Array) -> Array:
@@ -118,9 +138,14 @@ class SuperPointNet(nn.Module):
         conv = partial(nn.Conv, kernel_size=(3, 3), padding=1, dtype=self.dtype)
         c1, c2, c3, c4 = self.channels
         x = x.astype(self.dtype)
-        x = nn.relu(_GrayConv3x3(c1, self.dtype, name="conv1a")(x))
-        x = nn.relu(conv(c1, name="conv1b")(x))
-        x = _max_pool2(x)
+        # full-res stage entirely in space-to-depth layout: conv1a ->
+        # conv1b -> pool1 without ever materializing a (B, H, W, 64)
+        # tensor (at 24 MP that tensor is 5.7 GB f32 and its layout
+        # shuffles OOM'd the 16-GB chip)
+        x = _space_to_depth(x)
+        x = nn.relu(_S2DConv3x3(1, c1, self.dtype, name="conv1a")(x))
+        x = nn.relu(_S2DConv3x3(c1, c1, self.dtype, name="conv1b")(x))
+        x = _phase_max(x)
         x = nn.relu(conv(c2, name="conv2a")(x))
         x = nn.relu(conv(c2, name="conv2b")(x))
         x = _max_pool2(x)
