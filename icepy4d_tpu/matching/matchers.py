@@ -306,13 +306,21 @@ class ImageMatcherBase:
     def _extract(self, tiles: jnp.ndarray, max_keypoints: int) -> dict:
         """SuperPoint over a (T, h, w) tile batch -> padded feature dict.
 
-        Chunked over T so full-res tiles (first conv layer holds
-        h*w*64 floats per tile) never exceed the HBM activation budget;
-        chunk sizes divide T, so one compiled shape serves every chunk.
+        Chunked over T so the trunk's activations never exceed the HBM
+        budget; chunk sizes divide T, so one compiled shape serves every
+        chunk. Peak live state per tile is the conv1b in+out pair in
+        space-to-depth layout: 2 x (h/2 * w/2 * 256) activations =
+        h*w*128 elements. Every extra chunk costs a full remote-TPU
+        dispatch round trip (~0.3-1 s through the tunnel), so the
+        budget is sized to what a 16-GB chip demonstrably fits (a
+        24-MP f32 frame = 12.3 GB peak compiles and runs).
         """
         sp = self._superpoint(max_keypoints)
         t, h, w = tiles.shape[:3]
-        chunk = self._auto_chunk(t, h * w * 64 * 4)
+        act_bytes = 2 if str(self._opt.get(
+            "activation_dtype", "float32")) == "bfloat16" else 4
+        chunk = self._auto_chunk(t, h * w * 128 * act_bytes,
+                                 budget=13 << 30)
         if chunk == t:
             return sp.extract(self._sp_params, tiles)
         outs = [sp.extract(self._sp_params, tiles[i:i + chunk])
@@ -353,10 +361,13 @@ class ImageMatcherBase:
 
         # chunk the pair batch so the (K+1)^2 assignment matrices stay
         # inside the activation budget; bucket sizes are powers of two,
-        # so a power-of-two chunk always divides evenly
+        # so a power-of-two chunk always divides evenly. Budget sized so
+        # the headline 16-pair x 4096-kpt batch is ONE dispatch (1.07 GB
+        # of assignment matrices — measured to fit with room): every
+        # extra chunk pays a remote-dispatch round trip.
         p = len(idx0)
         k = int(data["kpts0"].shape[1])
-        chunk = self._auto_chunk(p, (k + 1) ** 2 * 4 * 4)
+        chunk = self._auto_chunk(p, (k + 1) ** 2 * 4 * 4, budget=6 << 30)
         if chunk == p:
             return self._run_matcher(data)
         outs = [
@@ -426,13 +437,23 @@ class ImageMatcherBase:
         n_max = int(jnp.max(jnp.sum(out["matches0"] > -1, axis=1)))
         cap = min(k, int(self._opt.get("max_matches_per_pair", 4096)),
                   _round_up_pow2(max(n_max, 1)))
-        mk0, mk1, d0, d1, s0, s1, conf, sel = self._compact_on_device(
+        arrs = self._compact_on_device(
             feats0, feats1, out,
             jnp.asarray(idx0), jnp.asarray(idx1),
             jnp.asarray(origins0, jnp.float32),
             jnp.asarray(origins1, jnp.float32), cap)
-        sel = np.asarray(sel).reshape(-1)
-        flat = lambda a: np.asarray(a).reshape((-1,) + a.shape[2:])[sel]
+        # start ALL host copies before blocking on any: serial
+        # np.asarray pays one link round trip per array (7 arrays x
+        # ~0.3 s through the remote tunnel)
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        mk0, mk1, d0, d1, s0, s1, conf, sel = (np.asarray(a)
+                                               for a in arrs)
+        sel = sel.reshape(-1)
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])[sel]
         return (flat(mk0), flat(mk1), flat(d0), flat(d1),
                 flat(s0), flat(s1), flat(conf))
 
@@ -585,8 +606,18 @@ class ImageMatcherBase:
 
         tiles0 = tiler0.extract_all(img0)
         tiles1 = tiler1.extract_all(img1)
-        feats0 = self._extract(tiles0, self._max_keypoints)
-        feats1 = self._extract(tiles1, self._max_keypoints)
+        if tiles0.shape == tiles1.shape:
+            # one batched forward over BOTH images' tiles: halves the
+            # number of extraction dispatches (each costs a remote-TPU
+            # round trip on top of device time)
+            t = int(tiles0.shape[0])
+            feats = self._extract(
+                jnp.concatenate([tiles0, tiles1]), self._max_keypoints)
+            feats0 = jax.tree.map(lambda a: a[:t], feats)
+            feats1 = jax.tree.map(lambda a: a[t:], feats)
+        else:
+            feats0 = self._extract(tiles0, self._max_keypoints)
+            feats1 = self._extract(tiles1, self._max_keypoints)
 
         th, tw = tiler0.tile_size
         out = self._match_pair_batch(

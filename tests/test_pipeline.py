@@ -357,6 +357,10 @@ def test_pipeline_quality_gates_flag_sabotaged_epoch(tmp_path):
                   "results_dir": str(tmp_path / "res")},
         "proc": {"epoch_to_process": "all", "do_tracking": False,
                  "do_orientation": False, "do_ba": False,
+                 # gate machinery under test in ISOLATION: the recovery
+                 # ladder (tested separately below) would rescue the
+                 # sabotaged epoch with a fresh un-sabotaged matcher
+                 "do_recovery": False,
                  "save_checkpoints": True, "use_mtime_fallback": True},
         "matching": {"matcher": "nn", "quality": "high",
                      "tile_selection": "none", "max_keypoints": 512,
@@ -503,3 +507,144 @@ def test_pipeline_warping_reference_day(cfg, tmp_path):
 
     warped = sorted((Path(wcfg.paths.results_dir) / "warped").glob("*"))
     assert len(warped) == 2
+
+
+def _write_synthetic_season(tmp_path, H=240, W=320, SHIFT=8, N=3, seed=7):
+    """Roll-shifted season (grid-aligned motion, so the random-weight
+    NN matcher genuinely matches); returns the base cfg dict."""
+    import os
+    import time
+
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    lo = rng.uniform(size=(30, (W + SHIFT * N) // 8)).astype(np.float32)
+    base = np.clip(cv2.resize(lo, (W + SHIFT * N, H),
+                              interpolation=cv2.INTER_CUBIC) * 255,
+                   0, 255).astype(np.uint8)
+    ts = time.time()
+    for cam in ("cam1", "cam2"):
+        d = tmp_path / "img" / cam
+        d.mkdir(parents=True)
+        for e in range(N):
+            p = d / f"IMG_{e:03d}.png"
+            cv2.imwrite(str(p), base[:, e * SHIFT: e * SHIFT + W])
+            os.utime(p, (ts + e * 3600, ts + e * 3600))
+    (tmp_path / "calib").mkdir()
+    for cam in ("cam1", "cam2"):
+        (tmp_path / "calib" / f"{cam}.txt").write_text(
+            f"{W} {H} 400. 0. {W/2} 0. 400. {H/2} 0. 0. 1. "
+            "0. 0. 0. 0.\n")
+    return {
+        "paths": {"image_dir": str(tmp_path / "img"),
+                  "calibration_dir": str(tmp_path / "calib"),
+                  "results_dir": str(tmp_path / "res")},
+        "proc": {"epoch_to_process": "all", "do_tracking": False,
+                 "do_orientation": False, "do_ba": False,
+                 "save_checkpoints": False, "use_mtime_fallback": True},
+        "matching": {"matcher": "nn", "quality": "high",
+                     "tile_selection": "none", "max_keypoints": 512,
+                     "geometric_verification": "none"},
+        "quality_gates": {"min_matches": 8},
+    }
+
+
+def test_pipeline_recovery_rescues_sabotaged_epoch(tmp_path):
+    """Recovery ladder step 1 (VERDICT r3 weak #3): an epoch whose
+    first match collapses is RE-MATCHED with relaxed guidance instead
+    of being checkpointed as failed; the adopted retry records how it
+    was recovered."""
+    from icepy4d_tpu import Pipeline
+
+    cfg = DotDict.wrap(_write_synthetic_season(tmp_path))
+    pipe = Pipeline(cfg)
+
+    orig_match = pipe.matcher.match
+    calls = {"n": 0}
+
+    def sabotaged(*a, **kw):
+        out = orig_match(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:  # second epoch's FIRST attempt only
+            m = pipe.matcher
+            m._mkpts0 = m._mkpts0[:4]
+            m._mkpts1 = m._mkpts1[:4]
+            m._descriptors0 = m._descriptors0[:, :4]
+            m._descriptors1 = m._descriptors1[:, :4]
+            m._scores0 = m._scores0[:4]
+            m._scores1 = m._scores1[:4]
+            m._mconf = m._mconf[:4]
+        return out
+
+    pipe.matcher.match = sabotaged
+    eps = list(pipe.run())
+    assert len(eps) == 3
+    assert eps[1].quality["status"] == "ok"
+    assert eps[1].quality["stats"]["recovered"] == "relaxed_rematch"
+    assert eps[1].quality["stats"]["n_matches"] >= 8
+    # healthy epochs were not touched by the ladder
+    assert "recovered" not in eps[0].quality["stats"]
+    assert "recovered" not in eps[2].quality["stats"]
+
+
+def test_bundle_epoch_trims_gross_outliers(tmp_path):
+    """Recovery step 0 (trim ladder in _bundle_epoch): gross outlier
+    observations that blow the BA RMSE gate are dropped and the
+    adjustment re-solved; the epoch passes the gate it would have
+    failed."""
+    from icepy4d_tpu import Pipeline
+    from icepy4d_tpu.core import Features
+    from icepy4d_tpu.core.camera import Camera
+    from icepy4d_tpu.core.epoch import Epoch
+    from icepy4d_tpu.sfm.geometry import project_points
+
+    rng = np.random.default_rng(3)
+    K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+    cam0 = Camera.create(width=640, height=480, K=K,
+                         extrinsics=np.eye(4))
+    E1 = np.eye(4)
+    E1[:3, 3] = [-2.0, 0, 0]
+    cam1 = Camera.create(width=640, height=480, K=K, extrinsics=E1)
+    P = 120
+    pts3d = np.stack([rng.uniform(-3, 3, P), rng.uniform(-2, 2, P),
+                      rng.uniform(8, 14, P)], axis=1).astype(np.float32)
+    obs = {}
+    for c, cam in (("cam1", cam0), ("cam2", cam1)):
+        xy = np.array(project_points(pts3d, cam), np.float32)
+        xy += rng.normal(0, 0.3, xy.shape).astype(np.float32)
+        obs[c] = xy
+    # 15% gross outliers in cam2 (chance matches surviving GV)
+    bad = rng.choice(P, size=18, replace=False)
+    obs["cam2"][bad] += rng.uniform(40, 120, (18, 2)).astype(np.float32)
+
+    cfg = DotDict.wrap({
+        "paths": {"image_dir": str(tmp_path / "img"),
+                  "calibration_dir": str(tmp_path / "calib"),
+                  "results_dir": str(tmp_path / "res")},
+        "ba": {"fit_f": False, "max_iters": 40, "trim_rounds": 2,
+               "trim_frac": 0.2},
+        "quality_gates": {"max_ba_rmse_px": 2.0},
+    })
+    # Pipeline requires an image tree; reuse the synthetic season's
+    base = _write_synthetic_season(tmp_path)
+    cfg.paths = DotDict.wrap(base["paths"])
+
+    from icepy4d_tpu import Pipeline as PL
+
+    pipe = PL(cfg)
+    epoch = Epoch(timestamp="2022-05-01 12:00:00", cameras={
+        "cam1": cam0, "cam2": cam1})
+    epoch.features = {}
+    for c in ("cam1", "cam2"):
+        f = Features()
+        f.append_features_from_numpy(
+            obs[c], track_ids=np.arange(P, dtype=np.int32))
+        epoch.features[c] = f
+
+    out_pts = pipe._bundle_epoch(epoch, pts3d.copy())
+    assert epoch.quality["status"] == "ok", epoch.quality
+    assert epoch.quality["stats"]["ba_rmse_px"] <= 2.0
+    # outlier points were trimmed away, inliers survived
+    assert len(out_pts) < P
+    assert len(out_pts) >= P - 2 * len(bad)
+    assert len(epoch.features["cam1"]) == len(out_pts)
