@@ -13,6 +13,7 @@ from icepy4d_tpu.parallel.mesh import (  # noqa: F401
 )
 from icepy4d_tpu.parallel.epoch_step import (  # noqa: F401
     make_sharded_match_step,
+    make_sharded_nn_step,
 )
 from icepy4d_tpu.parallel.ring_attention import (  # noqa: F401
     make_ring_attention,

@@ -1098,11 +1098,32 @@ class Pipeline:
             return self.epoches
 
         sp = self.matcher._superpoint(self.matcher._max_keypoints)
+        thr = float(self.cfg.get("other", DotDict()).get(
+            "pydegensac_threshold", 2.0))
+        guided = None
         if hasattr(self.matcher, "matcher"):
-            step = make_sharded_match_step(mesh, sp, self.matcher.matcher)
+            step = make_sharded_match_step(mesh, sp, self.matcher.matcher,
+                                           threshold_px=thr)
             m_params = self.matcher._matcher_params
         else:
-            step = make_sharded_nn_step(mesh, sp, self.matcher._nn)
+            # classic NN putative sets carry far lower precision than a
+            # learned matcher's (no context): buy back robustness with
+            # more RANSAC hypotheses — they run hypothesis-parallel on
+            # the MXU, so 4x hypotheses is nearly free — plus the
+            # production epipolar-guided second round fused INTO the
+            # sharded program (band from the matcher's guidance knobs,
+            # per-pair F from the surveyed GCP prior where available)
+            if int(getattr(self.matcher, "_guided_rounds", 0)) > 0:
+                guided = {
+                    "band": float(self.matcher._guided_band) * scale,
+                    "ratio": float(self.matcher._guided_ratio),
+                    "min_sim": float(self.matcher._guided_min_sim),
+                }
+            step = make_sharded_nn_step(
+                mesh, sp, self.matcher._nn, threshold_px=thr,
+                n_hypotheses=int(m_cfg.get("options", {}).get(
+                    "n_hypotheses", 512)),
+                guided=guided)
             m_params = {}
 
         K0 = K1 = None
@@ -1130,8 +1151,24 @@ class Pipeline:
                 _preprocess(jnp.asarray(
                     epochs[i].images[self.cams[1]].value), qname)
                 for i in pad])
-            out = step(self.matcher._sp_params, m_params,
-                       ims0, ims1, K0, K1)
+            if hasattr(self.matcher, "matcher") or guided is None:
+                out = step(self.matcher._sp_params, m_params,
+                           ims0, ims1, K0, K1)
+            else:
+                # per-pair surveyed prior F, rescaled from original px
+                # to the match frame (x_match = scale * x_orig):
+                # F_m = S^T F S with S = diag(1/scale, 1/scale, 1)
+                S = np.diag([1.0 / scale, 1.0 / scale, 1.0])
+                F_prior = np.zeros((b, 3, 3), np.float32)
+                prior_ok = np.zeros((b,), bool)
+                for j, i in enumerate(pad):
+                    pr = self._gcp_prior(epochs[i])
+                    if pr is not None:
+                        F_prior[j] = S.T @ np.asarray(pr[1]) @ S
+                        prior_ok[j] = True
+                out = step(self.matcher._sp_params, m_params,
+                           ims0, ims1, K0, K1,
+                           jnp.asarray(F_prior), jnp.asarray(prior_ok))
             out = jax.tree.map(np.asarray, out)
             for j, i in enumerate(group):
                 epoch = epochs[i]
