@@ -188,7 +188,10 @@ def main() -> None:
         emit()
         sys.exit(1)
     try:
-        with _alarm(min(330.0, _remaining() - 120.0)):
+        # the headline is THE driver-visible number: give it the lion's
+        # share (r4 lesson: a cold full-res compile through the tunnel
+        # took ~270 s by itself and a 330 s alarm cut the timed runs)
+        with _alarm(min(500.0, _remaining() - 90.0)):
             headline()
     except SectionTimeout:
         RESULT["error"] = "headline timeout"
@@ -208,6 +211,78 @@ def main() -> None:
             lambda: dict(zip(("epochs_per_min", "epochs_per_min_warm"),
                              bench_pipeline_epochs())),
             150.0, min_s=60.0)
+
+
+def _parallel_warm(matcher, img0) -> None:
+    """Compile the headline's big programs CONCURRENTLY.
+
+    The serial warmup paid extract + matcher + compact + RANSAC
+    compiles end-to-end (r4 probe: 763 s matching + 41 s GV cold
+    through a degraded tunnel); the compile service handles
+    independent programs in parallel, so issuing them from threads
+    bounds cold time by the slowest single compile. Shapes replicate
+    the headline protocol exactly (HIGH quality, 2x2 grid, overlap
+    200, 4096 kpts/tile, EXHAUSTIVE 16 pairs, GV bucket 16384); the
+    subsequent matcher.match() then hits only cached programs.
+    Best-effort: failures fall through to the serial warmup.
+    """
+    import threading
+
+    import jax.numpy as jnp
+
+    from icepy4d_tpu.matching.enums import GeometricVerification
+    from icepy4d_tpu.matching.geometric_verification import (
+        geometric_verification)
+    from icepy4d_tpu.matching.matchers import _preprocess
+    from icepy4d_tpu.matching.tiling import Tiler
+
+    g0 = _preprocess(jnp.asarray(img0), "high")
+    tiler = Tiler(grid=[2, 2], overlap=200, origin=[0, 0])
+    tiler.compute_limits_by_grid(np.empty(img0.shape[:2]))
+    th, tw = tiler.tile_size
+    origins = tiler.tile_origins()
+    t = len(origins)
+    k, d = 4096, 256
+
+    def t_extract():
+        out = matcher._extract_tiled(g0, origins, th, tw, k)
+        jnp.sum(out["scores"]).block_until_ready()
+
+    def t_match():
+        rng = np.random.default_rng(0)
+        feats = {
+            "keypoints": jnp.asarray(
+                rng.uniform(0, min(th, tw), (t, k, 2)), jnp.float32),
+            "descriptors": jnp.asarray(
+                rng.normal(size=(t, k, d)), jnp.float32),
+            "mask": jnp.ones((t, k), bool),
+            "scores": jnp.ones((t, k), jnp.float32),
+        }
+        pairs = [(a, b) for a in range(t) for b in range(t)]
+        idx0 = np.asarray([a for a, _ in pairs], np.int32)
+        idx1 = np.asarray([b for _, b in pairs], np.int32)
+        pv = np.ones(len(pairs), bool)
+        out = matcher._match_pair_batch(
+            feats, feats, idx0, idx1, pv, (tw, th), (tw, th))
+        matcher._assemble(feats, feats, out, idx0, idx1,
+                          origins.astype(np.float32),
+                          origins.astype(np.float32))
+
+    def t_gv():
+        rng = np.random.default_rng(1)
+        mk = rng.uniform(0, 4000, (14000, 2)).astype(np.float32)
+        geometric_verification(
+            mk, mk + rng.normal(size=mk.shape).astype(np.float32),
+            method=GeometricVerification.JAX_RANSAC, threshold=2.0,
+            confidence=0.9999,
+            scores=rng.uniform(size=len(mk)).astype(np.float32))
+
+    threads = [threading.Thread(target=f, daemon=True)
+               for f in (t_extract, t_match, t_gv)]
+    for th_ in threads:
+        th_.start()
+    for th_ in threads:
+        th_.join()
 
 
 def headline() -> None:
@@ -232,7 +307,15 @@ def headline() -> None:
         geometric_verification=GeometricVerification.JAX_RANSAC,
     )
 
-    # compile warmup — retry once: remote-TPU compile services
+    t0 = time.perf_counter()
+    try:
+        _parallel_warm(matcher, img0)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] parallel warm failed (serial fallback): {e!r}",
+              file=sys.stderr)
+    RESULT["warm_compile_s"] = round(time.perf_counter() - t0, 1)
+
+    # end-to-end warmup — retry once: remote-TPU compile services
     # occasionally drop a connection mid-stream
     for attempt in range(2):
         try:
@@ -243,6 +326,11 @@ def headline() -> None:
                 raise
             time.sleep(5.0)
 
+    # adaptive timed loop: min-of-N, but NEVER let run k+1 start unless
+    # there's headroom for it (a cold compile can eat most of the alarm
+    # budget; one finished timed run beats an alarm mid-run-3) — and
+    # commit a provisional result after every run so even an alarm
+    # leaves the best-so-far in RESULT
     times, gv_times = [], []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -250,6 +338,10 @@ def headline() -> None:
         times.append(time.perf_counter() - t0)
         gv_times.append(matcher.timer.times.get(
             "geometric_verification", 0.0))
+        RESULT["value"] = round(min(times), 3)
+        RESULT["vs_baseline"] = round(REF_SECONDS / min(times), 2)
+        if _remaining() < 90.0 + 1.5 * times[-1]:
+            break
     best = min(times)
     i_best = times.index(best)
 

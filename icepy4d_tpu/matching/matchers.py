@@ -41,7 +41,8 @@ from icepy4d_tpu.matching.tiling import Tiler
 from icepy4d_tpu.models.superpoint import SuperPoint
 from icepy4d_tpu.models.lightglue import LightGlue
 from icepy4d_tpu.models.superglue import SuperGlue
-from icepy4d_tpu.ops.image import quality_resize, rgb_to_gray
+from icepy4d_tpu.ops.image import (extract_tiles, quality_resize,
+                                   rgb_to_gray)
 
 logger = logging.getLogger("icepy4d_tpu")
 
@@ -58,6 +59,59 @@ def _force_random_weights(opt: dict) -> bool:
         os.environ.get("ICEPY4D_RANDOM_WEIGHTS", "") not in ("", "0")
 
 MIN_MATCHES_PER_TILE = 5
+
+
+class _LazyHostArray:
+    """Matched-descriptor block that stays ON DEVICE until first host
+    access.
+
+    Downloading the matched descriptors measured as the single largest
+    cost of a warm full-res match over the remote-TPU link, yet only
+    the tracking path ever reads them — geometry-only consumers (GV ->
+    orientation -> BA) now never pay the transfer. Row selections
+    (inlier masks, dedup indices) compose lazily and apply after the
+    one deferred download.
+
+    Device layout is (N, D) rows; `.get()` returns the reference's
+    column-major (D, N) float32 (ref matchers.py:44-48).
+    """
+
+    def __init__(self, dev, n_rows: int):
+        self._dev = dev
+        self._sels: list = [slice(0, int(n_rows))]
+        self._np: np.ndarray | None = None
+
+    def select(self, sel) -> None:
+        """Append a row selection (mask or index array)."""
+        if self._np is not None:
+            self._np = self._np[:, sel]
+        else:
+            self._sels.append(sel)
+
+    def get(self) -> np.ndarray:
+        if self._np is None:
+            a = np.asarray(self._dev).astype(np.float32)
+            for s in self._sels:
+                a = a[s]
+            self._np = np.ascontiguousarray(a.T)
+            self._dev = None
+            self._sels = []
+        return self._np
+
+    def __array__(self, dtype=None):
+        a = self.get()
+        return a if dtype is None else a.astype(dtype)
+
+    def __getitem__(self, item):
+        return self.get()[item]
+
+    @property
+    def shape(self) -> tuple:
+        if self._np is not None:
+            return self._np.shape
+        # pending selections make the final row count unknowable
+        # without materializing — do so (shape readers want the truth)
+        return self.get().shape
 
 
 @dataclass
@@ -117,6 +171,33 @@ class ImageMatcherBase:
         self._reset()
         self._sp_cache: dict[tuple, SuperPoint] = {}
         self._build_models(opt)
+
+    # matchers hash/eq BY CONFIG (same recipe as the models): methods
+    # jitted with a static `self` then share one compiled program across
+    # re-instantiations — through a remote-TPU tunnel a recompile costs
+    # minutes, so e.g. the pipeline's recovery rematch (a fresh matcher
+    # with relaxed opts) must not recompile the identically-configured
+    # production forward
+    def _config_key(self) -> tuple:
+        def canon(v):
+            if isinstance(v, dict):
+                return tuple(sorted((k, canon(x)) for k, x in v.items()))
+            if isinstance(v, (list, tuple)):
+                return tuple(canon(x) for x in v)
+            try:
+                hash(v)
+                return v
+            except TypeError:  # arrays/params: identity is the best key
+                return (type(v).__name__, id(v))
+
+        return (type(self), canon(self._opt))
+
+    def __hash__(self) -> int:
+        return hash(self._config_key())
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, ImageMatcherBase) \
+            and self._config_key() == other._config_key()
 
     # -- subclass hooks ------------------------------------------------------
 
@@ -185,10 +266,14 @@ class ImageMatcherBase:
 
     @property
     def descriptors0(self) -> np.ndarray:
+        if isinstance(self._descriptors0, _LazyHostArray):
+            self._descriptors0 = self._descriptors0.get()
         return self._descriptors0
 
     @property
     def descriptors1(self) -> np.ndarray:
+        if isinstance(self._descriptors1, _LazyHostArray):
+            self._descriptors1 = self._descriptors1.get()
         return self._descriptors1
 
     @property
@@ -317,13 +402,41 @@ class ImageMatcherBase:
         """
         sp = self._superpoint(max_keypoints)
         t, h, w = tiles.shape[:3]
-        act_bytes = 2 if str(self._opt.get(
-            "activation_dtype", "float32")) == "bfloat16" else 4
-        chunk = self._auto_chunk(t, h * w * 128 * act_bytes,
-                                 budget=13 << 30)
+        chunk = self._extract_chunk(t, h, w)
         if chunk == t:
             return sp.extract(self._sp_params, tiles)
         outs = [sp.extract(self._sp_params, tiles[i:i + chunk])
+                for i in range(0, t, chunk)]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+
+    def _extract_chunk(self, t: int, h: int, w: int) -> int:
+        act_bytes = 2 if str(self._opt.get(
+            "activation_dtype", "float32")) == "bfloat16" else 4
+        return self._auto_chunk(t, h * w * 128 * act_bytes,
+                                budget=13 << 30)
+
+    @partial(jax.jit, static_argnames=("self", "sp", "th", "tw"))
+    def _gather_extract(self, sp, g, origins, th: int, tw: int) -> dict:
+        """Fused tile gather + extractor forward: ONE dispatch instead
+        of gather-dispatch + extract-dispatch (each remote round trip
+        costs ~0.15-0.5 s through the tunnel — they rivaled the actual
+        device compute in the warm full-res profile)."""
+        tiles = extract_tiles(g, origins, th, tw)
+        return sp.extract(self._sp_params, tiles)
+
+    def _extract_tiled(self, g: jnp.ndarray, origins: np.ndarray,
+                       th: int, tw: int, max_keypoints: int) -> dict:
+        """Extract features for all tiles of a (scaled) image with the
+        gather fused into the trunk dispatch, chunked to the HBM
+        activation budget (see _extract)."""
+        sp = self._superpoint(max_keypoints)
+        t = len(origins)
+        dev_origins = jnp.asarray(np.asarray(origins, np.int32))
+        chunk = self._extract_chunk(t, th, tw)
+        if chunk == t:
+            return self._gather_extract(sp, g, dev_origins, th, tw)
+        outs = [self._gather_extract(sp, g, dev_origins[i:i + chunk],
+                                     th, tw)
                 for i in range(0, t, chunk)]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
 
@@ -343,22 +456,6 @@ class ImageMatcherBase:
         idx0/idx1 (P,): tile indices per pair; pair_valid (P,) masks
         bucket padding. size* = (w, h) of one tile.
         """
-        pv = jnp.asarray(pair_valid)[:, None]
-        data = {
-            "kpts0": feats0["keypoints"][idx0],
-            "desc0": feats0["descriptors"][idx0],
-            "mask0": feats0["mask"][idx0] & pv,
-            "size0": jnp.broadcast_to(
-                jnp.asarray(size0, jnp.float32), (len(idx0), 2)),
-            "kpts1": feats1["keypoints"][idx1],
-            "desc1": feats1["descriptors"][idx1],
-            "mask1": feats1["mask"][idx1] & pv,
-            "size1": jnp.broadcast_to(
-                jnp.asarray(size1, jnp.float32), (len(idx1), 2)),
-        }
-        data.update(self._matcher_data_extra(feats0, idx0, 0))
-        data.update(self._matcher_data_extra(feats1, idx1, 1))
-
         # chunk the pair batch so the (K+1)^2 assignment matrices stay
         # inside the activation budget; bucket sizes are powers of two,
         # so a power-of-two chunk always divides evenly. Budget sized so
@@ -366,19 +463,60 @@ class ImageMatcherBase:
         # of assignment matrices — measured to fit with room): every
         # extra chunk pays a remote-dispatch round trip.
         p = len(idx0)
-        k = int(data["kpts0"].shape[1])
+        k = int(feats0["keypoints"].shape[1])
         chunk = self._auto_chunk(p, (k + 1) ** 2 * 4 * 4, budget=6 << 30)
+        i0 = jnp.asarray(idx0)
+        i1 = jnp.asarray(idx1)
+        pv = jnp.asarray(pair_valid)
+        run = self._gather_and_match if self._fusable_forward() \
+            else self._gather_and_match_eager
         if chunk == p:
-            return self._run_matcher(data)
+            return run(feats0, feats1, i0, i1, pv, size0, size1)
         outs = [
-            self._run_matcher(
-                jax.tree.map(lambda a: a[i:i + chunk], data))
+            run(feats0, feats1, i0[i:i + chunk], i1[i:i + chunk],
+                pv[i:i + chunk], size0, size1)
             for i in range(0, p, chunk)
         ]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
 
+    def _fusable_forward(self) -> bool:
+        """Whether _run_matcher is pure device code that may be traced
+        inside one fused jit (overridden False by forwards with
+        data-dependent HOST control flow, e.g. adaptive LightGlue)."""
+        return True
+
+    @partial(jax.jit, static_argnames=("self", "size0", "size1"))
+    def _gather_and_match(self, feats0, feats1, idx0, idx1, pair_valid,
+                          size0, size1) -> dict:
+        """Per-pair feature gather fused into the matcher forward: the
+        gathers were ~10 eager device ops = ~10 remote round trips per
+        match (the matcher hashes by config, so this program survives
+        re-instantiation)."""
+        return self._gather_and_match_eager(
+            feats0, feats1, idx0, idx1, pair_valid, size0, size1)
+
+    def _gather_and_match_eager(self, feats0, feats1, idx0, idx1,
+                                pair_valid, size0, size1) -> dict:
+        pv = pair_valid[:, None]
+        p = idx0.shape[0]
+        data = {
+            "kpts0": feats0["keypoints"][idx0],
+            "desc0": feats0["descriptors"][idx0],
+            "mask0": feats0["mask"][idx0] & pv,
+            "size0": jnp.broadcast_to(
+                jnp.asarray(size0, jnp.float32), (p, 2)),
+            "kpts1": feats1["keypoints"][idx1],
+            "desc1": feats1["descriptors"][idx1],
+            "mask1": feats1["mask"][idx1] & pv,
+            "size1": jnp.broadcast_to(
+                jnp.asarray(size1, jnp.float32), (p, 2)),
+        }
+        data.update(self._matcher_data_extra(feats0, idx0, 0))
+        data.update(self._matcher_data_extra(feats1, idx1, 1))
+        return self._run_matcher(data)
+
     @staticmethod
-    @partial(jax.jit, static_argnames=("cap",))
+    @partial(jax.jit, static_argnames=("cap", "n_out"))
     def _compact_on_device(
         feats0: dict,
         feats1: dict,
@@ -388,12 +526,18 @@ class ImageMatcherBase:
         origins0,
         origins1,
         cap: int,
+        n_out: int,
     ):
-        """Gather the top-`cap` matches per pair ON DEVICE.
+        """Gather the top-`cap` matches per pair AND flat-pack the
+        valid rows across pairs into (n_out, ...) ON DEVICE.
 
-        Only matched rows cross the host boundary — transferring the
-        full (T, K, 256) descriptor tensors dominates wall time on
-        remote-TPU links.
+        Only matched rows cross the host boundary: transferring even
+        the per-pair-capped (P, C, 256) descriptor blocks measured
+        7-14 s of the warm full-res headline on the 50 MB/s remote-TPU
+        link (most rows invalid); the packed (n_out, 256) form is the
+        minimal pow2 bucket over the true match count. `n_out` is
+        host-computed from the per-pair counts (pow2-bucketed so one
+        compiled shape serves a season).
         """
         m0 = out["matches0"]                      # (P, K)
         conf = out["mscores0"]
@@ -415,7 +559,18 @@ class ImageMatcherBase:
 
         mk0, d0, s0 = side(feats0, idx0, origins0, topi)
         mk1, d1, s1 = side(feats1, idx1, origins1, j)
-        return mk0, mk1, d0, d1, s0, s1, topv, sel
+
+        # valid-first flat packing (stable argsort keeps the original
+        # (pair, rank) order of the surviving rows); descriptors cross
+        # the link as float16 — half the bytes of the dominant transfer,
+        # ~1e-3 relative rounding on unit-norm descriptors (far below
+        # any NN match decision margin)
+        order = jnp.argsort(~sel.reshape(-1))[:n_out]
+        pick = lambda a: a.reshape((-1,) + a.shape[2:])[order]
+        return (pick(mk0), pick(mk1),
+                pick(d0).astype(jnp.float16),
+                pick(d1).astype(jnp.float16),
+                pick(s0), pick(s1), pick(topv))
 
     def _assemble(
         self,
@@ -434,34 +589,46 @@ class ImageMatcherBase:
         matches almost nothing crosses the host link."""
         k = int(out["matches0"].shape[1])
         # tiny transfer first: how many matches per pair?
-        n_max = int(jnp.max(jnp.sum(out["matches0"] > -1, axis=1)))
+        counts = np.asarray(jnp.sum(out["matches0"] > -1, axis=1))
         cap = min(k, int(self._opt.get("max_matches_per_pair", 4096)),
-                  _round_up_pow2(max(n_max, 1)))
+                  _round_up_pow2(max(int(counts.max(initial=0)), 1)))
+        # rows surviving the per-pair cap — the exact final count, so
+        # the packed transfer is the minimal pow2 bucket over it
+        total = int(np.minimum(counts, cap).sum())
+        n_out = min(_round_up_pow2(max(total, 1)),
+                    len(counts) * cap)
         arrs = self._compact_on_device(
             feats0, feats1, out,
             jnp.asarray(idx0), jnp.asarray(idx1),
             jnp.asarray(origins0, jnp.float32),
-            jnp.asarray(origins1, jnp.float32), cap)
-        # start ALL host copies before blocking on any: serial
-        # np.asarray pays one link round trip per array (7 arrays x
-        # ~0.3 s through the remote tunnel)
-        for a in arrs:
+            jnp.asarray(origins1, jnp.float32), cap, n_out)
+        mk0d, mk1d, d0, d1, s0d, s1d, confd = arrs
+        # start the host copies of the SMALL arrays before blocking on
+        # any (serial np.asarray pays one link round trip per array);
+        # descriptors stay on device — only the tracking path reads
+        # them, and their download dominated the warm full-res match
+        small = (mk0d, mk1d, s0d, s1d, confd)
+        for a in small:
             try:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
-        mk0, mk1, d0, d1, s0, s1, conf, sel = (np.asarray(a)
-                                               for a in arrs)
-        sel = sel.reshape(-1)
-        flat = lambda a: a.reshape((-1,) + a.shape[2:])[sel]
-        return (flat(mk0), flat(mk1), flat(d0), flat(d1),
-                flat(s0), flat(s1), flat(conf))
+        mk0, mk1, s0, s1, conf = (np.asarray(a)[:total] for a in small)
+        return (mk0, mk1, _LazyHostArray(d0, total),
+                _LazyHostArray(d1, total), s0, s1, conf)
 
     @staticmethod
     def _dedup(mk0, mk1, d0, d1, s0, s1, conf):
         """Unique features on image0 (ref matchers.py:444-450)."""
         mk0, uniq = np.unique(mk0, axis=0, return_index=True)
-        return (mk0, mk1[uniq], d0[uniq], d1[uniq], s0[uniq], s1[uniq],
+
+        def rows(d):
+            if isinstance(d, _LazyHostArray):
+                d.select(uniq)
+                return d
+            return d[uniq]
+
+        return (mk0, mk1[uniq], rows(d0), rows(d1), s0[uniq], s1[uniq],
                 conf[uniq])
 
     # -- tile selection --------------------------------------------------------
@@ -604,22 +771,14 @@ class ImageMatcherBase:
             return self._empty_result()
         tiler0, tiler1, idx0, idx1, pair_valid = prep
 
-        tiles0 = tiler0.extract_all(img0)
-        tiles1 = tiler1.extract_all(img1)
-        if tiles0.shape == tiles1.shape:
-            # one batched forward over BOTH images' tiles: halves the
-            # number of extraction dispatches (each costs a remote-TPU
-            # round trip on top of device time)
-            t = int(tiles0.shape[0])
-            feats = self._extract(
-                jnp.concatenate([tiles0, tiles1]), self._max_keypoints)
-            feats0 = jax.tree.map(lambda a: a[:t], feats)
-            feats1 = jax.tree.map(lambda a: a[t:], feats)
-        else:
-            feats0 = self._extract(tiles0, self._max_keypoints)
-            feats1 = self._extract(tiles1, self._max_keypoints)
-
         th, tw = tiler0.tile_size
+        # fused gather+extract, one dispatch per image (per HBM chunk):
+        # per-image programs let the second image's host->device
+        # transfer overlap the first image's extraction compute
+        feats0 = self._extract_tiled(img0, tiler0.tile_origins(), th, tw,
+                                     self._max_keypoints)
+        feats1 = self._extract_tiled(img1, tiler1.tile_origins(), th, tw,
+                                     self._max_keypoints)
         out = self._match_pair_batch(
             feats0, feats1, idx0, idx1, pair_valid, (tw, th), (tw, th))
         res = self._assemble(
@@ -690,8 +849,13 @@ class ImageMatcherBase:
 
         self._mkpts0 = np.asarray(mk0, np.float32)
         self._mkpts1 = np.asarray(mk1, np.float32)
-        self._descriptors0 = np.asarray(d0, np.float32).T
-        self._descriptors1 = np.asarray(d1, np.float32).T
+        # lazy blocks defer their (dominant) download until someone
+        # actually reads descriptors (the tracking path); plain arrays
+        # land in the reference's (D, N) layout immediately
+        self._descriptors0 = d0 if isinstance(d0, _LazyHostArray) \
+            else np.asarray(d0, np.float32).T
+        self._descriptors1 = d1 if isinstance(d1, _LazyHostArray) \
+            else np.asarray(d1, np.float32).T
         self._scores0 = np.asarray(s0, np.float32)
         self._scores1 = np.asarray(s1, np.float32)
         self._mconf = np.asarray(conf, np.float32)
@@ -726,8 +890,12 @@ class ImageMatcherBase:
         """Keep inliers only (ref matchers.py:682-700)."""
         self._mkpts0 = self._mkpts0[mask]
         self._mkpts1 = self._mkpts1[mask]
-        self._descriptors0 = self._descriptors0[:, mask]
-        self._descriptors1 = self._descriptors1[:, mask]
+        for attr in ("_descriptors0", "_descriptors1"):
+            d = getattr(self, attr)
+            if isinstance(d, _LazyHostArray):
+                d.select(mask)
+            else:
+                setattr(self, attr, d[:, mask])
         self._scores0 = self._scores0[mask]
         self._scores1 = self._scores1[mask]
         self._mconf = self._mconf[mask]
@@ -819,6 +987,11 @@ class LightGlueMatcher(ImageMatcherBase):
                     "LightGlueMatcher: no checkpoint given — random "
                     "weights%s", suffix)
                 self._matcher_params = self.matcher.init(rng)
+
+    def _fusable_forward(self) -> bool:
+        # match_adaptive segments the layer loop on HOST confidence
+        # reads — it cannot be traced inside the fused gather+forward
+        return not self._adaptive
 
     def _run_matcher(self, data: dict) -> dict:
         if self._adaptive:
