@@ -298,6 +298,27 @@ class LightGlue:
                 params["confidence"].append({"token": lin(d, 1)})
         return params
 
+    def match_flops(self, batch: int, m: int, n: int | None = None) -> float:
+        """Analytic matmul FLOPs of one static match() forward over
+        (batch, m, n) padded keypoint sets (2*m*n*k per matmul;
+        softmax/rotary/layernorm excluded, <1% by XLA's own count —
+        pinned against the compiled cost analysis in tests/test_flops.py).
+        Used for MFU when the remote backend cannot serve a cost
+        analysis."""
+        n = m if n is None else n
+        d, L, di = self.descriptor_dim, self.n_layers, self.input_dim
+        s = float(m + n)
+        proj = 2 * s * di * d
+        # self block per side (k tokens): Wqkv 6kd^2 + attn 4k^2 d
+        #   + out 2kd^2 + ffn (2d->2d, 2d->d) 12kd^2
+        self_b = (20 * d * d * (m + n)
+                  + 4 * d * (float(m) * m + float(n) * n))
+        # cross block: to_qk/to_v/out 6*(m+n)d^2 + ffn 12*(m+n)d^2
+        #   + two attention directions 8mnd
+        cross_b = 18 * s * d * d + 8 * float(m) * n * d
+        assign = 2 * s * d * d + 2 * float(m) * n * d + 2 * s * d
+        return batch * (proj + L * (self_b + cross_b) + assign)
+
     # -- forward -----------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def match(self, params: dict, data: dict) -> dict:

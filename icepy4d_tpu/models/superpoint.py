@@ -325,6 +325,28 @@ class SuperPoint:
         return jax.jit(self.net.init)(
             rng, jnp.zeros((1, h, w, 1), jnp.float32))
 
+    def extract_flops(self, h: int, w: int, batch: int = 1) -> float:
+        """Analytic EXECUTED matmul FLOPs of one extract() forward
+        (2*Cin*Cout*k^2 per conv output element; elementwise/NMS/top-k
+        excluded, ~2% by XLA's own count — pinned against the compiled
+        cost analysis in tests/test_flops.py). The full-res conv1a/b run
+        in space-to-depth form, which executes 4x the pixel-space MACs
+        (three-quarters routed zeros, see _S2DConv3x3) — counted as
+        executed, so the derived MFU measures real MXU occupancy. Used
+        when the remote backend cannot serve a cost analysis."""
+        c1, c2, c3, c4 = self.net.channels
+        dd = self.descriptor_dim
+        a = float(h * w)
+        per_px = (
+            4 * (2 * 1 * c1 * 9 + 2 * c1 * c1 * 9)     # s2d conv1a/b
+            + (2 * c1 * c2 * 9 + 2 * c2 * c2 * 9) / 4  # conv2a/b, H/2
+            + (2 * c2 * c3 * 9 + 2 * c3 * c3 * 9) / 16  # conv3a/b, H/4
+            + (2 * c3 * c4 * 9 + 2 * c4 * c4 * 9) / 64  # conv4a/b, H/8
+            + (2 * c4 * 256 * 9 + 2 * 256 * 65) / 64    # convPa/Pb
+            + (2 * c4 * 256 * 9 + 2 * 256 * dd) / 64    # convDa/Db
+        )
+        return batch * a * per_px
+
     @partial(jax.jit, static_argnums=0)
     def extract(self, params, images: Array) -> dict:
         """images: (B, H, W) or (B, H, W, 1) grayscale in [0, 1].
