@@ -166,28 +166,60 @@ def load_pair():
     return imgs[0], imgs[1]
 
 
+_TUNNEL_VERIFIED = False
+
+
 def _tpu_tunnel_alive() -> bool:
     """Fail fast instead of hanging: when the axon relay is dead
     (ports closed, /root/.tpu_init.py gone), jax.devices() blocks
     FOREVER. Probe the relay's loopback ports before importing any
-    device code. Override with ICEPY4D_BENCH_SKIP_TUNNEL_CHECK=1."""
+    device code. Override with ICEPY4D_BENCH_SKIP_TUNNEL_CHECK=1.
+
+    A port accepting TCP is NOT enough (r4 incident: relay process
+    alive, all ports open, yet jax.devices() hung for the full 19-min
+    budget — the remote end was unresponsive). The first call therefore
+    also runs `jax.devices()` + a tiny round trip in a THROWAWAY
+    SUBPROCESS under a hard timeout: if that child hangs it is killed
+    and we report dead, having spent seconds instead of the budget.
+    Later calls (between sections, same process) keep the cheap
+    port-only probe — the main process by then holds the device, and a
+    second device-holding child would itself block."""
     import os
     import socket
+    import subprocess
 
+    global _TUNNEL_VERIFIED
     if os.environ.get("ICEPY4D_BENCH_SKIP_TUNNEL_CHECK"):
         return True
     plat = os.environ.get("JAX_PLATFORMS", "")
     if plat not in ("", "axon"):
         return True  # explicitly not running through the tunnel
+    port_open = False
     for port in (8082, 8083, 8087, 8092, 8093, 8097,
                  8102, 8103, 8107, 8112, 8113, 8117):
         try:
             with socket.create_connection(("127.0.0.1", port),
                                           timeout=2):
-                return True
+                port_open = True
+                break
         except OSError:
             continue
-    return False
+    if not port_open:
+        return False
+    if _TUNNEL_VERIFIED:
+        return True
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np; jax.devices(); "
+             "np.asarray(jax.device_put(np.ones(8, np.float32)))"],
+            timeout=float(os.environ.get(
+                "ICEPY4D_BENCH_PROBE_TIMEOUT_S", "120")),
+            check=True, capture_output=True)
+    except Exception:  # noqa: BLE001  (timeout, crash: both = dead)
+        return False
+    _TUNNEL_VERIFIED = True
+    return True
 
 
 def main() -> None:

@@ -24,9 +24,12 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 @pytest.fixture()
-def bench():
+def bench(monkeypatch):
     """Fresh bench module with an isolated RESULT dict and a generous
-    deadline (tests manipulate time budgets explicitly)."""
+    deadline (tests manipulate time budgets explicitly). The tunnel
+    probe is skipped: its jax.devices() subprocess would contend for
+    the real device (or hang on a dead relay) from inside CI."""
+    monkeypatch.setenv("ICEPY4D_BENCH_SKIP_TUNNEL_CHECK", "1")
     sys.path.insert(0, str(REPO))
     import importlib
 
