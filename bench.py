@@ -250,12 +250,17 @@ def main() -> None:
     section("device_step", bench_device_step, 90.0)
     section("matcher_step", bench_matcher_step, 120.0)
     section("dense_sweep", bench_dense_sweep, 120.0)
-    section("real_geometry", bench_real_geometry, 330.0)
-    section("pipeline_fullres", bench_pipeline_fullres, 420.0, min_s=150.0)
+    # real_geometry is the parity-evidence section (epochs ok + BA RMSE
+    # on the real season): epoch 0's cold SIFT compile alone costs
+    # ~230 s through the tunnel, so it gets the biggest budget
+    section("real_geometry", bench_real_geometry, 480.0)
+    section("pipeline_fullres", bench_pipeline_fullres, 330.0, min_s=100.0)
+    # least valuable (r02 already recorded it) — runs only on leftover
+    # budget; its downscaled shapes recompile everything (~150 s+)
     section("pipeline_epochs",
             lambda: dict(zip(("epochs_per_min", "epochs_per_min_warm"),
                              bench_pipeline_epochs())),
-            150.0, min_s=60.0)
+            300.0, min_s=100.0)
 
 
 # headline() stashes its warm matcher + pair here so the MFU sections
@@ -511,10 +516,11 @@ def bench_dense_sweep():
 
     run_sync()
     try:
-        flops = float(fn.lower(I0, I1).compile()
-                      .cost_analysis()["flops"])
+        cost = fn.lower(I0, I1).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        hbm_bytes = float(cost.get("bytes accessed", 0.0))
     except Exception:
-        flops = 0.0
+        flops = hbm_bytes = 0.0
     ts = []
     for _ in range(4):
         t0 = time.perf_counter()
@@ -522,12 +528,16 @@ def bench_dense_sweep():
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     out = {"dense_sweep_ms_2000x3008x96": round(dt * 1000, 1)}
-    # the honest efficiency axis for this op is throughput, not MFU:
-    # ZNCC sweep is elementwise + separable box sums (HBM-bound)
+    # the honest efficiency axis for this op is HBM bandwidth, not MFU:
+    # ZNCC sweep is elementwise + separable box sums (memory-bound),
+    # so report the roofline it actually rides (v5e HBM ~819 GB/s)
     out["dense_sweep_gdisp_px_per_s"] = round(
         2000 * 3008 * 96 / dt / 1e9, 2)
+    if hbm_bytes:
+        out["dense_sweep_hbm_pct"] = round(
+            100.0 * hbm_bytes / dt / 819e9, 1)
     if flops:
-        out["dense_sweep_mfu_pct"] = round(100.0 * flops / dt / 197e12, 2)
+        out["dense_sweep_mfu_pct"] = round(100.0 * flops / dt / 197e12, 3)
     return out
 
 
@@ -632,12 +642,31 @@ def bench_real_geometry():
     })
     try:
         pipe = Pipeline(cfg)
-        eps = list(pipe.run())
-        stats = [e.quality["stats"] for e in eps]
-        for e in eps:
+        # stream per-epoch stats (run(on_epoch=...)) so a SIGALRM
+        # timeout preserves everything measured so far (r4 incident:
+        # epoch 0's 232 s cold compile ate the section budget and all
+        # 4 epochs' stats were discarded)
+        eps = []
+
+        def on_epoch(e):
+            eps.append(e)
             print(f"[real-geometry] {e.date_str}: "
                   f"{e.quality['status']} {e.quality['flags']} "
                   f"{e.quality['stats']}", file=sys.stderr)
+            done = [x.quality["stats"] for x in eps]
+            partial_rmses = [s["ba_rmse_px"] for s in done
+                             if "ba_rmse_px" in s]
+            RESULT.update({
+                "real_epochs_done": len(eps),
+                "real_epochs_ok": sum(
+                    x.quality["status"] != "failed" for x in eps),
+                "real_max_ba_rmse_px": (round(max(partial_rmses), 3)
+                                        if partial_rmses else None),
+            })
+            emit()
+
+        eps = list(pipe.run(on_epoch=on_epoch))
+        stats = [e.quality["stats"] for e in eps]
         rmses = [s["ba_rmse_px"] for s in stats if "ba_rmse_px" in s]
         return {
             "real_min_putative": min(s.get("n_putative", 0)
@@ -709,25 +738,39 @@ def bench_pipeline_fullres():
                  [309.261, 301.051, 135.008]], np.float32),
         },
         "other": {"pydegensac_threshold": 2.0},
+        # jax_ransac: the SAME GV program the headline section already
+        # compiled and timed — the pipeline default (DEGENSAC) would pay
+        # a fresh multi-minute tunnel compile at the full-res bucket
+        # (r4 incident: a 7-min silent GV compile ate the 420 s budget)
         "matching": {"matcher": "lightglue", "quality": "high",
                      "tile_selection": "exhaustive", "grid": [2, 2],
                      "overlap": 200, "max_keypoints": 4096,
+                     "geometric_verification": "jax_ransac",
                      "options": {"filter_threshold": 0.0}},
         "ba": {"camera_location_accuracy": 0.5, "fit_f": False,
                "max_iters": 30},
     })
 
-    def run_once():
+    def run_once(tag):
         pipe = Pipeline(cfg)
         t0 = time.perf_counter()
-        eps = pipe.run()
-        return len(eps) * 60.0 / (time.perf_counter() - t0)
+        done = [0]
+
+        def on_epoch(_e):
+            done[0] += 1
+            rate = done[0] * 60.0 / (time.perf_counter() - t0)
+            RESULT[f"epochs_per_min_fullres_{tag}"] = round(rate, 2)
+            emit()  # a timeout later still keeps this partial rate
+
+        n = len(list(pipe.run(on_epoch=on_epoch)))
+        return n * 60.0 / (time.perf_counter() - t0)
 
     try:
-        cold = run_once()
+        cold = run_once("cold")
         for p in out.glob("epochs/*/*.pickle"):
             p.unlink()
-        warm = run_once()
+        warm = run_once("warm")
+        RESULT.pop("epochs_per_min_fullres_warm", None)
         return {"epochs_per_min_fullres": round(warm, 2),
                 "epochs_per_min_fullres_cold": round(cold, 2)}
     finally:

@@ -1220,7 +1220,12 @@ class Pipeline:
             geometric_verification=GeometricVerification.NONE)
         self.matcher._reset()
 
-    def run(self) -> Epoches:
+    def run(self, on_epoch=None) -> Epoches:
+        """Process the configured season. `on_epoch(epoch)`, when
+        given, is called right after each epoch completes (quality
+        gates applied) — observability hook for live dashboards and
+        partial-result reporting (bench.py streams per-epoch stats
+        through it so a deadline kill keeps completed epochs)."""
         proc = self.cfg.get("proc", DotDict())
         todo = proc.get("epoch_to_process", "all")
         if todo == "all" or todo is None:
@@ -1240,6 +1245,8 @@ class Pipeline:
                     self.epoches.add_epoch(epoch, ep)
                     prev = epoch
                     self._timer.update(f"epoch_{ep}")
+                    if on_epoch is not None:
+                        on_epoch(epoch)
         finally:
             self._prefetched.clear()
             self._active_prefetch = None
