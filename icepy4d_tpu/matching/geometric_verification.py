@@ -85,9 +85,11 @@ def geometric_verification(
     n_hyp = int(min(max_iters,
                     max(512, 1 << (max(n_conf, 1) - 1).bit_length())))
     key = jax.random.PRNGKey(seed)
-    # pow2 padding: match counts vary per call; exact shapes would
-    # recompile the RANSAC program every epoch
-    cap = 1 << (n - 1).bit_length()
+    # pow4 padding: match counts vary per call; exact (or pow2) shapes
+    # recompile the RANSAC program mid-season (ops/buckets.py)
+    from icepy4d_tpu.ops.buckets import pad_bucket
+
+    cap = pad_bucket(n)
     pk0 = np.zeros((cap, 2), np.float32)
     pk1 = np.zeros((cap, 2), np.float32)
     pk0[:n] = mkpts0

@@ -131,6 +131,20 @@ def _round_up_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def _host_gray(im):
+    """Grayscale on host before upload: RGB uint8 would cost 3x the
+    host->device bytes (the bottleneck on remote links). Shared by the
+    pair match and the seeded-tracking extraction so both produce
+    bit-identical preprocessed frames (tracking reuses the match's
+    cached features)."""
+    if isinstance(im, np.ndarray) and im.ndim == 3 \
+            and im.dtype == np.uint8:
+        import cv2
+
+        return cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
+    return im
+
+
 @partial(jax.jit, static_argnames=("quality",))
 def _preprocess(image: jnp.ndarray, quality: str) -> jnp.ndarray:
     """uint8/float (H, W[, 3]) -> grayscale [0,1] at the quality scale.
@@ -170,6 +184,17 @@ class ImageMatcherBase:
             self._max_keypoints = 4096
         self._reset()
         self._sp_cache: dict[tuple, SuperPoint] = {}
+        # pow2 tile-pair bucket of the last match: the seeded tracking
+        # path pads its tile-diagonal batch to this so the fused
+        # gather+match program is a compile-cache hit (tracking.py)
+        self._pair_bucket = 0
+        # device-side features of the last top-level match's two images
+        # (keyed by input-object ids + tile signature): the pipeline
+        # runs seeded tracking on the SAME images right after the pair
+        # match — re-extracting them cost a full extractor forward per
+        # epoch (tracking.py::_extract_new reads this)
+        self._feat_cache: dict | None = None
+        self._cache_armed = False
         self._build_models(opt)
 
     # matchers hash/eq BY CONFIG (same recipe as the models): methods
@@ -415,6 +440,23 @@ class ImageMatcherBase:
         return self._auto_chunk(t, h * w * 128 * act_bytes,
                                 budget=13 << 30)
 
+    def _store_feat_cache(self, sig: tuple, feats0: dict,
+                          feats1: dict) -> None:
+        """Publish the top-level match's per-image device features for
+        the seeded-tracking path (keyed by the ORIGINAL image-object
+        ids, which `match()` recorded; the held refs keep those ids
+        from being recycled). Armed only for the outer match — nested
+        low-res preselection matches must not poison the cache."""
+        if not self._cache_armed:
+            return
+        self._cache_armed = False
+        self._feat_cache = {
+            "sig": sig,
+            "ids": self._match_input_ids,
+            "refs": self._match_input_refs,
+            "feats": (feats0, feats1),
+        }
+
     @partial(jax.jit, static_argnames=("self", "sp", "th", "tw"))
     def _gather_extract(self, sp, g, origins, th: int, tw: int) -> dict:
         """Fused tile gather + extractor forward: ONE dispatch instead
@@ -585,17 +627,20 @@ class ImageMatcherBase:
         """Batched match result -> host matched arrays (valid rows only).
 
         The compaction cap adapts to the ACTUAL max match count per pair
-        (rounded to a power of two, so jit caches stay small) — with few
-        matches almost nothing crosses the host link."""
+        (rounded onto the pow4 ladder, so jit caches stay small AND
+        stable across a season's varying counts) — with few matches
+        almost nothing crosses the host link."""
+        from icepy4d_tpu.ops.buckets import pad_bucket
+
         k = int(out["matches0"].shape[1])
         # tiny transfer first: how many matches per pair?
         counts = np.asarray(jnp.sum(out["matches0"] > -1, axis=1))
         cap = min(k, int(self._opt.get("max_matches_per_pair", 4096)),
-                  _round_up_pow2(max(int(counts.max(initial=0)), 1)))
+                  pad_bucket(max(int(counts.max(initial=0)), 1)))
         # rows surviving the per-pair cap — the exact final count, so
-        # the packed transfer is the minimal pow2 bucket over it
+        # the packed transfer is the minimal pow4 bucket over it
         total = int(np.minimum(counts, cap).sum())
-        n_out = min(_round_up_pow2(max(total, 1)),
+        n_out = min(pad_bucket(max(total, 1)),
                     len(counts) * cap)
         arrs = self._compact_on_device(
             feats0, feats1, out,
@@ -664,7 +709,11 @@ class ImageMatcherBase:
             n_down = 1
         lo0 = _downsample(img0, n_down)
         lo1 = _downsample(img1, n_down)
+        # the nested low-res match must not publish its features as the
+        # top-level images' extraction cache
+        armed, self._cache_armed = self._cache_armed, False
         mk0, mk1, *_ = self._match_full(lo0, lo1, max_keypoints=4096)
+        self._cache_armed = armed
         scale = float(2 ** n_down)
         mk0 = mk0 * scale
         mk1 = mk1 * scale
@@ -703,9 +752,13 @@ class ImageMatcherBase:
         else:
             feats0 = self._extract(p0[None], k)
             feats1 = self._extract(p1[None], k)
+        self._store_feat_cache(
+            (1, int(img0.shape[0]), int(img0.shape[1]), k),
+            feats0, feats1)
         size0 = (int(img0.shape[1]), int(img0.shape[0]))
         size1 = (int(img1.shape[1]), int(img1.shape[0]))
         idx = np.zeros(1, np.int32)
+        self._pair_bucket = 1
         out = self._match_pair_batch(
             feats0, feats1, idx, idx, np.ones(1, bool), size0, size1)
         zero = np.zeros((1, 2), np.float32)
@@ -752,6 +805,7 @@ class ImageMatcherBase:
         idx0[:p] = [a for a, _ in pairs]
         idx1[:p] = [b for _, b in pairs]
         pair_valid = np.arange(bucket) < p
+        self._pair_bucket = bucket
         return tiler0, tiler1, idx0, idx1, pair_valid
 
     def _match_tiled(
@@ -779,6 +833,8 @@ class ImageMatcherBase:
                                      self._max_keypoints)
         feats1 = self._extract_tiled(img1, tiler1.tile_origins(), th, tw,
                                      self._max_keypoints)
+        self._store_feat_cache(
+            (tiler0.n_tiles, th, tw, self._max_keypoints), feats0, feats1)
         out = self._match_pair_batch(
             feats0, feats1, idx0, idx1, pair_valid, (tw, th), (tw, th))
         res = self._assemble(
@@ -814,17 +870,11 @@ class ImageMatcherBase:
         confidence = config.get("confidence", 0.9999)
         save_dir = config.get("save_dir", None)
 
-        def host_gray(im):
-            # grayscale on host before upload: RGB uint8 would cost 3x
-            # the host->device bytes (the bottleneck on remote links)
-            if isinstance(im, np.ndarray) and im.ndim == 3 \
-                    and im.dtype == np.uint8:
-                import cv2
-
-                return cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
-            return im
-
+        host_gray = _host_gray
         qname = QUALITY_NAMES[quality]
+        self._cache_armed = True
+        self._match_input_ids = (id(image0), id(image1))
+        self._match_input_refs = (image0, image1)
         g0 = _preprocess(jnp.asarray(host_gray(image0)), qname)
         g1 = _preprocess(jnp.asarray(host_gray(image1)), qname)
 
@@ -1105,9 +1155,13 @@ class SIFTMatcher(NearestNeighborMatcher):
             feats0 = self._extract(img0[None], k)
             feats1 = self._extract(img1[None], k)
         self._cached = (feats0, feats1)
+        self._store_feat_cache(
+            (1, int(img0.shape[0]), int(img0.shape[1]), k),
+            feats0, feats1)
         size0 = (int(img0.shape[1]), int(img0.shape[0]))
         size1 = (int(img1.shape[1]), int(img1.shape[0]))
         idx = np.zeros(1, np.int32)
+        self._pair_bucket = 1
         out = self._match_pair_batch(
             feats0, feats1, idx, idx, np.ones(1, bool), size0, size1)
         zero = np.zeros((1, 2), np.float32)

@@ -416,11 +416,21 @@ class SIFT:
         Returns {keypoints (B,K,2) xy px, descriptors (B,K,128),
         scores (B,K), mask (B,K)} with K = max_keypoints, coordinates
         in the ORIGINAL image frame.
+
+        The WHOLE pyramid (all octaves, detection, description, global
+        top-K) is one fused XLA program: the previous per-octave
+        dispatch chain (~20 dispatches) cost ~9 s of pure round-trip
+        latency per warm call through the remote-TPU tunnel, and each
+        of its ~18 program boundaries was a separate remote compile.
         """
         del params
         img = jnp.asarray(images, jnp.float32)
         if img.ndim == 4:
             img = img[..., 0]
+        return self._extract_fused(img)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _extract_fused(self, img: Array) -> dict:
         b, h0, w0 = img.shape
 
         if self.upsample:

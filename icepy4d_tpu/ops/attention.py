@@ -45,8 +45,12 @@ def _xla_attention(q: Array, k: Array, v: Array, kmask: Array) -> Array:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]  # (TQ, hd)
-    k = k_ref[0, 0]  # (Nk, hd)
+    """Q/K/V arrive as bfloat16 (halved VMEM + HBM traffic); both MXU
+    matmuls take bf16 operands with f32 accumulation — the f32-operand
+    version ran the MXU in multi-pass mode at ~1/3 the throughput and
+    capped the matcher at 16.6% MFU (BENCH_r04). Softmax stays f32."""
+    q = q_ref[0, 0]  # (TQ, hd) bf16
+    k = k_ref[0, 0]  # (Nk, hd) bf16
     v = v_ref[0, 0]
     m = m_ref[0, 0]  # (Nk,) float 0/1
     sim = jax.lax.dot_general(
@@ -54,7 +58,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32) * scale
     sim = sim + (m - 1.0)[None, :] * 1e9
     p = jax.nn.softmax(sim, axis=-1)
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32
+    o_ref[0, 0] = jnp.dot(p.astype(jnp.bfloat16), v,
+                          preferred_element_type=jnp.float32
                           ).astype(o_ref.dtype)
 
 
@@ -71,6 +76,11 @@ def flash_attention(q: Array, k: Array, v: Array, kmask: Array,
     # (B, 1, Nk): the block's trailing two dims (1, Nk) match the array's,
     # satisfying the Mosaic (8, 128)-tiling rule for any batch size.
     mf = kmask.astype(jnp.float32)[:, None, :]
+    # bf16 operands into the kernel: halves the K/V VMEM footprint and
+    # HBM reads, and puts both MXU matmuls in single-pass bf16 mode
+    # (accumulation stays f32 inside the kernel). Unit-norm descriptor
+    # tokens lose ~1e-2 relative — far below any match decision margin.
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
     return pl.pallas_call(
         partial(_flash_kernel, scale=hd ** -0.5),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -90,11 +100,11 @@ def flash_attention(q: Array, k: Array, v: Array, kmask: Array,
             memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * nq * nk * hd,
-            bytes_accessed=4 * b * h * (nq + 2 * nk) * hd,
+            bytes_accessed=2 * b * h * (nq + 2 * nk) * hd,
             transcendentals=b * h * nq * nk,
         ),
         interpret=interpret,
-    )(q, k, v, mf)
+    )(qb, kb, vb, mf)
 
 
 def masked_attention(q: Array, k: Array, v: Array, kmask: Array) -> Array:
@@ -103,8 +113,8 @@ def masked_attention(q: Array, k: Array, v: Array, kmask: Array) -> Array:
     nk = k.shape[-2]
     on_tpu = jax.default_backend() == "tpu"
     aligned = nq % _Q_TILE == 0 and hd % 8 == 0 and nk % 128 == 0
-    # K/V + score tile must fit VMEM comfortably
-    fits = nk * hd * 4 * 2 + _Q_TILE * nk * 4 < 8 * 1024 * 1024
+    # K/V (bf16) + f32 score tile must fit VMEM comfortably
+    fits = nk * hd * 2 * 2 + _Q_TILE * nk * 4 < 8 * 1024 * 1024
     if on_tpu and aligned and fits:
         return flash_attention(q, k, v, kmask)
     return _xla_attention(q, k, v, kmask)

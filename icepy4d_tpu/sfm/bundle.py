@@ -176,6 +176,27 @@ class BundleAdjustment:
                 rodrigues_to_matrix(jnp.asarray(cam_theta[ci, :3])))
             cam_theta[ci, 3:] = cam_theta[ci, 3:] + R @ shift
 
+        # pow4 point-count bucket (ops/buckets.py): tie-point counts
+        # vary per epoch, and an unpadded P re-specializes the whole LM
+        # program — a fresh multi-second compile through a remote-TPU
+        # tunnel EVERY epoch (pow2 buckets still straddled at real
+        # counts, e.g. 1995 vs 2279). Padded rows carry zero
+        # observation/prior weights (their V blocks stay invertible via
+        # the LM damping floor) and all consumers slice [:n_tie].
+        from icepy4d_tpu.ops.buckets import pad_bucket
+
+        cap = pad_bucket(p, floor=256)
+        if cap > p:
+            pad = cap - p
+            obs_xy = np.concatenate(
+                [obs_xy, np.zeros((pad, c, 2), np.float32)])
+            obs_w = np.concatenate([obs_w, np.zeros((pad, c), np.float32)])
+            pt_prior = np.concatenate(
+                [pt_prior, np.zeros((pad, 3), np.float32)])
+            pt_prior_w = np.concatenate(
+                [pt_prior_w, np.zeros(pad, np.float32)])
+            pts0 = np.concatenate([pts0, np.zeros((pad, 3), np.float32)])
+
         prob = BAProblem(
             cam_theta=jnp.asarray(cam_theta),
             intrinsics=jnp.asarray(intr),

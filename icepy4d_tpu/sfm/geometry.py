@@ -48,9 +48,11 @@ def estimate_pose(
     n = len(kpts0)
     if n < 5:
         return None
-    # pad to a power-of-two bucket: match counts vary per call, and an
-    # exact-shape jit would recompile every epoch
-    cap = 1 << (n - 1).bit_length()
+    # pad to a power-of-FOUR bucket: match counts vary per call, and
+    # exact (or pow2) shapes recompile mid-season (ops/buckets.py)
+    from icepy4d_tpu.ops.buckets import pad_bucket
+
+    cap = pad_bucket(n)
     pk0 = np.zeros((cap, 2), np.float32)
     pk1 = np.zeros((cap, 2), np.float32)
     pk0[:n] = kpts0

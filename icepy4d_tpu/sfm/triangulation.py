@@ -49,8 +49,11 @@ class Triangulate:
         p0 = np.asarray(self.image_points[views_ids[0]], np.float32)
         p1 = np.asarray(self.image_points[views_ids[1]], np.float32)
         n = len(p0)
-        # pow2 padding keeps jit caches stable across varying match counts
-        cap = max(1 << (max(n, 1) - 1).bit_length(), 8)
+        # pow4 padding keeps jit caches stable across varying match
+        # counts — including across epochs (ops/buckets.py)
+        from icepy4d_tpu.ops.buckets import pad_bucket
+
+        cap = pad_bucket(n, floor=8)
         pad0 = np.zeros((cap, 2), np.float32)
         pad1 = np.zeros((cap, 2), np.float32)
         pad0[:n] = p0
@@ -83,13 +86,15 @@ class Triangulate:
     def triangulate_nviews(self) -> np.ndarray:
         """N-view DLT over all cameras (ref triangulation.py:122-137).
 
-        Point counts pad to a pow2 bucket (CLAUDE.md convention: ragged
+        Point counts pad to a pow4 bucket (CLAUDE.md convention: ragged
         shapes recompile the jitted DLT every epoch)."""
+        from icepy4d_tpu.ops.buckets import pad_bucket
+
         Ps = jnp.stack([cam.P for cam in self.cameras])
         us_np = [np.asarray(p, np.float32)[..., :2]
                  for p in self.image_points]
         n = us_np[0].shape[0]
-        cap = max(8, 1 << (max(n, 1) - 1).bit_length())
+        cap = pad_bucket(n, floor=8)
         v = len(us_np)
         us = np.zeros((v, cap, 2), np.float32)
         for i, u in enumerate(us_np):

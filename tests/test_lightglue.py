@@ -134,4 +134,7 @@ def test_attention_pallas_interpret_matches_xla():
     mask = jnp.asarray(rng.uniform(size=(2, 256)) > 0.3)
     ours = flash_attention(q, k, v, mask, interpret=True)
     ref = _xla_attention(q, k, v, mask)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+    # the kernel takes bf16 operands (f32 accumulation): tolerance is
+    # bf16's ~3 decimal digits on O(1) normal inputs
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)

@@ -625,6 +625,51 @@ def test_pipeline_recovery_rescues_sabotaged_epoch(tmp_path):
     assert "recovered" not in eps[2].quality["stats"]
 
 
+def test_pipeline_recovery_rescues_learned_matcher_epoch(tmp_path):
+    """Recovery ladder step 1 for the LEARNED matcher family (VERDICT
+    r4 next #8): a LightGlue epoch whose first match collapses is
+    re-matched with a lowered filter threshold + widened GV threshold
+    and the adopted retry records how it was recovered — the mirror of
+    the NN/SIFT sabotage test above."""
+    from icepy4d_tpu import Pipeline
+
+    raw = _write_synthetic_season(tmp_path)
+    # filter_threshold 0 so HEALTHY epochs pass with the random test
+    # weights; the sabotage alone trips the gate on epoch 1
+    raw["matching"] = {"matcher": "lightglue", "quality": "high",
+                       "tile_selection": "none", "max_keypoints": 512,
+                       "geometric_verification": "none",
+                       "options": {"filter_threshold": 0.0}}
+    cfg = DotDict.wrap(raw)
+    pipe = Pipeline(cfg)
+
+    orig_match = pipe.matcher.match
+    calls = {"n": 0}
+
+    def sabotaged(*a, **kw):
+        out = orig_match(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:  # second epoch's FIRST attempt only
+            m = pipe.matcher
+            m._mkpts0 = m._mkpts0[:4]
+            m._mkpts1 = m._mkpts1[:4]
+            m._descriptors0 = np.asarray(m.descriptors0)[:, :4]
+            m._descriptors1 = np.asarray(m.descriptors1)[:, :4]
+            m._scores0 = m._scores0[:4]
+            m._scores1 = m._scores1[:4]
+            m._mconf = m._mconf[:4]
+        return out
+
+    pipe.matcher.match = sabotaged
+    eps = list(pipe.run())
+    assert len(eps) == 3
+    assert eps[1].quality["status"] == "ok"
+    assert eps[1].quality["stats"]["recovered"] == "relaxed_rematch"
+    assert eps[1].quality["stats"]["n_matches"] >= 8
+    assert "recovered" not in eps[0].quality["stats"]
+    assert "recovered" not in eps[2].quality["stats"]
+
+
 def test_bundle_epoch_trims_gross_outliers(tmp_path):
     """Recovery step 0 (trim ladder in _bundle_epoch): gross outlier
     observations that blow the BA RMSE gate are dropped and the
