@@ -194,12 +194,16 @@ def _tpu_tunnel_alive() -> bool:
     plat = os.environ.get("JAX_PLATFORMS", "")
     if plat not in ("", "axon"):
         return True  # explicitly not running through the tunnel
+    # generous timeouts: a loaded 1-CPU host can take seconds to even
+    # complete a loopback connect, and the throwaway device probe pays
+    # a full backend init — r5 incident: a 2 s connect timeout under
+    # CPU contention declared a LIVE tunnel dead and nulled a bench run
     port_open = False
     for port in (8082, 8083, 8087, 8092, 8093, 8097,
                  8102, 8103, 8107, 8112, 8113, 8117):
         try:
             with socket.create_connection(("127.0.0.1", port),
-                                          timeout=2):
+                                          timeout=10):
                 port_open = True
                 break
         except OSError:
@@ -214,7 +218,7 @@ def _tpu_tunnel_alive() -> bool:
              "import jax, numpy as np; jax.devices(); "
              "np.asarray(jax.device_put(np.ones(8, np.float32)))"],
             timeout=float(os.environ.get(
-                "ICEPY4D_BENCH_PROBE_TIMEOUT_S", "120")),
+                "ICEPY4D_BENCH_PROBE_TIMEOUT_S", "300")),
             check=True, capture_output=True)
     except Exception:  # noqa: BLE001  (timeout, crash: both = dead)
         return False
@@ -619,7 +623,13 @@ def bench_real_geometry():
         "matching": {"matcher": "sift", "quality": "high",
                      "tile_selection": "none", "max_keypoints": 16384,
                      "options": {"dual_orientation": False}},
+        # parity config (BASELINE.md <= 0.5 px): Metashape's default
+        # free intrinsics + its gradual-selection analogue (trim toward
+        # the target accuracy, ref metashape.py:164-196)
         "ba": {"camera_location_accuracy": 0.5, "fit_f": True,
+               "free_intrinsics": "metashape",
+               "trim_target_rmse_px": 0.5, "trim_frac": 0.1,
+               "trim_rounds": 6,
                "max_iters": 60, "min_points": 8},
     })
     try:

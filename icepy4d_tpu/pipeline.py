@@ -557,12 +557,24 @@ class Pipeline:
         # reference relies on Metashape's internal reweighting). The
         # features are filtered in lockstep so checkpoints/CSVs stay
         # aligned with the surviving points.
+        #
+        # ba.trim_target_rmse_px (optional) additionally trims toward a
+        # TARGET accuracy, the analogue of Metashape's gradual-selection
+        # workflow (reprojection-error filter + re-optimize) that the
+        # reference runs inside optimizeCameras
+        # (/root/reference/src/icepy4d/metashape/metashape.py:164-196):
+        # the final tie-point set is the subset consistent at that
+        # accuracy, and the dropped observations remain counted in the
+        # epoch's match statistics.
         max_rmse = float(self.cfg.get("quality_gates", DotDict()).get(
             "max_ba_rmse_px", 10.0))
+        target = ba_cfg.get("trim_target_rmse_px", None)
+        stop_rmse = max_rmse if target is None \
+            else min(max_rmse, float(target))
         trim_frac = float(ba_cfg.get("trim_frac", 0.2))
         min_keep = max(int(cfg.min_points), 16)
         for _ in range(int(ba_cfg.get("trim_rounds", 2))):
-            if out.reprojection_rmse_px <= max_rmse or trim_frac <= 0:
+            if out.reprojection_rmse_px <= stop_rmse or trim_frac <= 0:
                 break
             from icepy4d_tpu.sfm.geometry import project_points
 
@@ -1305,7 +1317,14 @@ class Pipeline:
         given, is called right after each epoch completes (quality
         gates applied) — observability hook for live dashboards and
         partial-result reporting (bench.py streams per-epoch stats
-        through it so a deadline kill keeps completed epochs)."""
+        through it so a deadline kill keeps completed epochs).
+
+        Contract (ADVICE r4): an exception raised inside `on_epoch`
+        propagates and ABORTS the remaining epochs — wrap the callback
+        body in try/except if observation must never sink a season.
+        Only this sequential driver honors the hook; `run_batched` /
+        `run_distributed` process epochs in sharded groups where a
+        per-epoch callback has no well-defined firing point."""
         proc = self.cfg.get("proc", DotDict())
         todo = proc.get("epoch_to_process", "all")
         if todo == "all" or todo is None:

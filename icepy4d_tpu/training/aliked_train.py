@@ -192,6 +192,22 @@ def train_aliked(
             jnp.arange(n_steps))
         return params, opt_state, losses
 
+    # scan_chunk <= 1: eager per-step dispatch over the device-resident
+    # batches. The scan-wrapped chunk program is what the remote-TPU
+    # compile service cannot digest (r5: >55 min then 'broken pipe'
+    # at any chunk size, while the BARE train step compiles in 58 s and
+    # warm steps run in ~12 ms) — with async dispatch the eager loop is
+    # within noise of the scan on the tunnel anyway.
+    if scan_chunk <= 1:
+        for k in range(steps):
+            i = k % n_batches
+            params, opt_state, loss = step_fn(
+                params, opt_state, data["imgs"][i], data["warped"][i],
+                data["Hs"][i], data["labels"][i], data["detw"][i])
+            if (k + 1) % 100 == 0 or k + 1 == steps:
+                log(f"step {k + 1}/{steps} loss {float(loss):.4f}")
+        return params
+
     run_chunk = jax.jit(run_chunk, static_argnums=(3,))
     done = 0
     while done < steps:
