@@ -212,18 +212,43 @@ def _tpu_tunnel_alive() -> bool:
         return False
     if _TUNNEL_VERIFIED:
         return True
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, numpy as np; jax.devices(); "
-             "np.asarray(jax.device_put(np.ones(8, np.float32)))"],
-            timeout=float(os.environ.get(
-                "ICEPY4D_BENCH_PROBE_TIMEOUT_S", "300")),
-            check=True, capture_output=True)
-    except Exception:  # noqa: BLE001  (timeout, crash: both = dead)
-        return False
-    _TUNNEL_VERIFIED = True
-    return True
+    # RETRY the device probe (r5 incident: right after container start
+    # the relay accepts TCP but the first backend init can exceed even a
+    # 300 s timeout; a minute later the same probe takes 6 s — a single
+    # transient failure must not null the whole bench run)
+    timeout_s = float(os.environ.get(
+        "ICEPY4D_BENCH_PROBE_TIMEOUT_S", "300"))
+    global DEADLINE_S
+    for attempt in range(3):
+        t0 = time.monotonic()
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np; jax.devices(); "
+                 "np.asarray(jax.device_put(np.ones(8, np.float32)))"],
+                timeout=timeout_s, check=True, capture_output=True)
+            _TUNNEL_VERIFIED = True
+            return True
+        except Exception as e:  # noqa: BLE001  (timeout, crash)
+            print(f"[bench] tunnel probe attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
+            # credit the wasted wait back to the measurement budget
+            # (capped): a fresh container's first relay transfer can
+            # take >300 s; that warm-up must not starve the sections
+            # (r5 incident: attempt 1 timed out, attempt 2 passed, and
+            # real_geometry later got 66 s of its 420 s budget)
+            waste = time.monotonic() - t0
+            credit = min(waste, 900.0 - (DEADLINE_S - float(
+                os.environ.get("ICEPY4D_BENCH_DEADLINE_S", "1140"))))
+            if credit > 0:
+                DEADLINE_S += credit
+                RESULT["deadline_extended_s"] = round(
+                    DEADLINE_S - float(os.environ.get(
+                        "ICEPY4D_BENCH_DEADLINE_S", "1140")), 1)
+            if _remaining() < timeout_s + 60.0:
+                break
+            time.sleep(10.0)
+    return False
 
 
 def main() -> None:
@@ -284,20 +309,23 @@ _HL: dict = {}
 
 
 def _probe_link() -> float:
-    """Host<->device bandwidth of the tunnel, measured with a 16 MB
+    """Host<->device bandwidth of the tunnel, measured with a 2 MB
     round trip (device_put + full read back — no compiled program
     involved). Context for run-to-run variance: the tunnel link has
-    been observed anywhere between ~15 and ~100 MB/s. Returns MB/s
-    (and emits it — the r4 field name said mbps; the unit always was
-    megaBYTES/s)."""
+    been observed anywhere between ~0.1 and ~100 MB/s — the small
+    buffer bounds the probe's own cost on a stalled link (r5 incident:
+    a 16 MB probe at 0.1 MB/s ate ~320 s of the headline budget; the
+    headline's own resident-vs-upload decomposition is the
+    authoritative link number anyway). Returns MB/s (and emits it —
+    the r4 field name said mbps; the unit always was megaBYTES/s)."""
     import jax
 
-    buf = np.zeros((4 << 20,), np.float32)  # 16 MB
+    buf = np.zeros((1 << 19,), np.float32)  # 2 MB
     t0 = time.perf_counter()
     dev = jax.device_put(buf)
     np.asarray(dev)
     dt = time.perf_counter() - t0
-    mbps = 2 * 16.0 / dt
+    mbps = 2 * 2.0 / dt
     RESULT["link_MBps_roundtrip"] = round(mbps, 1)
     return mbps
 

@@ -43,6 +43,7 @@ from icepy4d_tpu.models.lightglue import LightGlue
 from icepy4d_tpu.models.superglue import SuperGlue
 from icepy4d_tpu.ops.image import (extract_tiles, quality_resize,
                                    rgb_to_gray)
+from icepy4d_tpu.ops.topk import top2_last
 
 logger = logging.getLogger("icepy4d_tpu")
 
@@ -1075,15 +1076,13 @@ class NearestNeighborMatcher(ImageMatcherBase):
                          preferred_element_type=jnp.float32)
         neg = jnp.finfo(sim.dtype).min
         sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, neg)
-        m0 = jnp.argmax(sim, axis=2)
         m1 = jnp.argmax(sim, axis=1)
-        best = jnp.max(sim, axis=2)
+        best, second, m0 = top2_last(sim)
         inds = jnp.arange(sim.shape[1])[None]
         mutual = inds == jnp.take_along_axis(m1, m0, 1)
         ok = mutual & (best > self._sim_th) & mask0
         if self._ratio_th is not None:
-            top2 = jax.lax.top_k(sim, 2)[0]
-            ok &= top2[..., 1] < float(self._ratio_th) * top2[..., 0]
+            ok &= second < float(self._ratio_th) * best
         return (jnp.where(ok, m0, -1).astype(jnp.int32),
                 jnp.where(ok, best, 0.0))
 
@@ -1191,20 +1190,19 @@ class SIFTMatcher(NearestNeighborMatcher):
         neg = jnp.finfo(sim.dtype).min
         ok_pair = mask0[:, :, None] & mask1[:, None, :] & inband
         sim = jnp.where(ok_pair, sim, neg)
-        m0 = jnp.argmax(sim, axis=2)
-        top2 = jax.lax.top_k(sim, 2)[0]
+        s1, s2, m0 = top2_last(sim)
         r2 = self._guided_ratio ** 2
-        ok = (1.0 - top2[..., 0]) < r2 * (1.0 - top2[..., 1])
+        ok = (1.0 - s1) < r2 * (1.0 - s2)
         # lone in-band candidates (no second neighbor) pass outright
-        ok |= (top2[..., 1] <= neg / 2)
+        ok |= (s2 <= neg / 2)
         # mutual + similarity floor: the band reduces matching to 1-D,
         # so descriptor strictness carries the precision
         m1 = jnp.argmax(sim, axis=1)
         inds = jnp.arange(sim.shape[1])[None]
         ok &= inds == jnp.take_along_axis(m1, m0, 1)
-        ok &= mask0 & (top2[..., 0] > self._guided_min_sim)
+        ok &= mask0 & (s1 > self._guided_min_sim)
         return (jnp.where(ok, m0, -1).astype(jnp.int32),
-                jnp.where(ok, top2[..., 0], 0.0))
+                jnp.where(ok, s1, 0.0))
 
     def _guided_rematch(self, threshold: float, confidence: float,
                         gv_method, scale: float, guide) -> None:
@@ -1302,19 +1300,18 @@ class SIFTMatcher(NearestNeighborMatcher):
                          preferred_element_type=jnp.float32)
         neg = jnp.finfo(sim.dtype).min
         sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, neg)
-        m0 = jnp.argmax(sim, axis=2)
-        top2 = jax.lax.top_k(sim, 2)[0]
+        s1, s2, m0 = top2_last(sim)
         # Lowe ratio on Euclidean distances of unit descriptors:
         # d^2 = 2 - 2s  =>  accept iff (1 - s1) < r^2 (1 - s2)
         r2 = self._ratio_th ** 2
-        ok = (1.0 - top2[..., 0]) < r2 * (1.0 - top2[..., 1])
-        ok &= mask0 & (top2[..., 0] > neg / 2)
+        ok = (1.0 - s1) < r2 * (1.0 - s2)
+        ok &= mask0 & (s1 > neg / 2)
         if self._mutual:
             m1 = jnp.argmax(sim, axis=1)
             inds = jnp.arange(sim.shape[1])[None]
             ok &= inds == jnp.take_along_axis(m1, m0, 1)
         return (jnp.where(ok, m0, -1).astype(jnp.int32),
-                jnp.where(ok, top2[..., 0], 0.0))
+                jnp.where(ok, s1, 0.0))
 
 
 @partial(jax.jit, static_argnames=("net", "pool"))

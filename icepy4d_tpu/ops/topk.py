@@ -27,6 +27,29 @@ import jax.numpy as jnp
 _ROW_THRESHOLD = 1 << 17
 
 
+def top2_last(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(best, second, argmax) along the last axis via two max passes.
+
+    The Lowe-ratio matchers only ever need k=2, but a generic
+    `lax.top_k` lowers to the TPU sort/TopkEmitter path — a large HLO
+    whose remote compile time (and crash surface, see module docstring)
+    is wasted on k=2. Two fused max/argmax reductions over the (already
+    materialized) similarity matrix compile to a fraction of the
+    program and read it once more at most.
+
+    Duplicate maxima behave like lax.top_k: only the first occurrence
+    is masked for the second pass, so `second == best` when the row's
+    maximum appears twice.
+    """
+    a1 = jnp.argmax(x, axis=-1)
+    s1 = jnp.take_along_axis(x, a1[..., None], -1)[..., 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    s2 = jnp.max(jnp.where(cols == a1[..., None], neg, x), axis=-1)
+    return s1, s2, a1
+
+
 def safe_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """`lax.top_k` over the last axis of a 2-D (B, N) operand, avoiding
     the batch-1 TPU TopkEmitter crash (see module docstring)."""

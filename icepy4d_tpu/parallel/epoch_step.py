@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from icepy4d_tpu.ops.ransac import ransac_essential_pose
+from icepy4d_tpu.ops.topk import top2_last
 from icepy4d_tpu.ops.triangulation import iterative_ls_triangulation
 
 
@@ -132,17 +133,16 @@ def _nn_epipolar_band(d0, d1, k0, k1, mask0, mask1, F, band,
     neg = jnp.finfo(sim.dtype).min
     sim = jnp.where(mask0[:, :, None] & mask1[:, None, :] & inband,
                     sim, neg)
-    m0 = jnp.argmax(sim, axis=2)
-    top2 = jax.lax.top_k(sim, 2)[0]
+    s1, s2, m0 = top2_last(sim)
     r2 = ratio ** 2
-    ok = (1.0 - top2[..., 0]) < r2 * (1.0 - top2[..., 1])
-    ok |= (top2[..., 1] <= neg / 2)   # lone in-band candidate passes
+    ok = (1.0 - s1) < r2 * (1.0 - s2)
+    ok |= (s2 <= neg / 2)             # lone in-band candidate passes
     m1 = jnp.argmax(sim, axis=1)
     inds = jnp.arange(sim.shape[1])[None]
     ok &= inds == jnp.take_along_axis(m1, m0, 1)
-    ok &= mask0 & (top2[..., 0] > min_sim)
+    ok &= mask0 & (s1 > min_sim)
     return (jnp.where(ok, m0, -1).astype(jnp.int32),
-            jnp.where(ok, top2[..., 0], 0.0))
+            jnp.where(ok, s1, 0.0))
 
 
 def make_sharded_nn_step(

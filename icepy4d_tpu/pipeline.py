@@ -587,10 +587,10 @@ class Pipeline:
             keep = res <= np.percentile(res, 100.0 * (1.0 - trim_frac))
             if int(keep.sum()) < min_keep:
                 break
-            logger.info("epoch %s BA trim: rmse %.3f px > %.1f — "
+            logger.info("epoch %s BA trim: rmse %.3f px > %.2f — "
                         "dropping %d / %d worst-residual points",
                         epoch.date_str, out.reprojection_rmse_px,
-                        max_rmse, int((~keep).sum()), len(keep))
+                        stop_rmse, int((~keep).sum()), len(keep))
             for c in self.cams:
                 epoch.features[c].filter_feature_by_mask(keep)
                 obs[c] = obs[c][keep]
