@@ -572,6 +572,16 @@ class Pipeline:
         stop_rmse = max_rmse if target is None \
             else min(max_rmse, float(target))
         trim_frac = float(ba_cfg.get("trim_frac", 0.2))
+        # one adaptive round instead of N fixed-percentile rounds: the
+        # residual distribution already tells us the largest keep-set
+        # whose static RMS meets the target; picking it directly cuts
+        # the warm-epoch BA phase from 4 solves to (usually) 2
+        # (measured r5: 3x ~7 s trim rounds per epoch on the real
+        # season were the single largest warm-epoch cost). The fixed
+        # percentile remains the floor so the ladder still converges
+        # when the static estimate is off, and `trim_max_frac` caps any
+        # single drop.
+        trim_max = float(ba_cfg.get("trim_max_frac", 0.4))
         min_keep = max(int(cfg.min_points), 16)
         for _ in range(int(ba_cfg.get("trim_rounds", 2))):
             if out.reprojection_rmse_px <= stop_rmse or trim_frac <= 0:
@@ -579,13 +589,33 @@ class Pipeline:
             from icepy4d_tpu.sfm.geometry import project_points
 
             res = np.zeros(len(out.points))
+            sse = np.zeros(len(out.points))
+            n_obs_per_pt = 0
             for c in self.cams:
                 proj = np.asarray(project_points(out.points,
                                                  out.cameras[c]))
                 err = np.linalg.norm(proj - obs[c], axis=1)
-                res = np.maximum(res, np.nan_to_num(err, nan=np.inf))
-            keep = res <= np.percentile(res, 100.0 * (1.0 - trim_frac))
-            if int(keep.sum()) < min_keep:
+                err = np.nan_to_num(err, nan=np.inf)
+                res = np.maximum(res, err)
+                sse += np.minimum(err, 1e12) ** 2
+                n_obs_per_pt += 1
+            # largest prefix (in ascending max-residual order) whose
+            # static RMS over all observations meets the target (with a
+            # small margin so re-optimization lands comfortably below
+            # the bar, not at it); the re-optimized RMS only improves
+            # on the static estimate
+            order = np.argsort(res)
+            prefix_rms = np.sqrt(np.cumsum(sse[order])
+                                 / (n_obs_per_pt
+                                    * np.arange(1, len(res) + 1)))
+            good = np.nonzero(prefix_rms <= 0.95 * stop_rmse)[0]
+            n_target = int(good[-1]) + 1 if len(good) else min_keep
+            n_floor = int(np.ceil(len(res) * (1.0 - trim_frac)))
+            n_cap = int(np.ceil(len(res) * (1.0 - trim_max)))
+            n_keep = max(min(n_target, n_floor), n_cap, min_keep)
+            keep = np.zeros(len(res), bool)
+            keep[order[:n_keep]] = True
+            if int(keep.sum()) < min_keep or int((~keep).sum()) == 0:
                 break
             logger.info("epoch %s BA trim: rmse %.3f px > %.2f — "
                         "dropping %d / %d worst-residual points",
