@@ -59,16 +59,21 @@ def normalize_keypoints(kpts: Array, size) -> Array:
 
 
 def _linear(p: dict, x: Array) -> Array:
-    y = x @ p["kernel"]
+    # weights cast to the activation dtype so a bf16 trunk runs bf16
+    # matmuls end to end (f32 weights would promote every product)
+    y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
-        y = y + p["bias"]
+        y = y + p["bias"].astype(x.dtype)
     return y
 
 
 def _layer_norm(p: dict, x: Array, eps: float = 1e-5) -> Array:
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # statistics in f32 regardless of the activation dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def _ffn(p: dict, x: Array, message: Array) -> Array:
@@ -172,6 +177,10 @@ def sigmoid_log_double_softmax(
 def match_assignment(
     p: dict, d0: Array, d1: Array, mask0: Array, mask1: Array
 ) -> Array:
+    # the assignment head always scores in f32 (a bf16 trunk hands
+    # bf16 descriptors in; log-softmax margins decide matches)
+    d0 = d0.astype(jnp.float32)
+    d1 = d1.astype(jnp.float32)
     md0 = _linear(p["final_proj"], d0)
     md1 = _linear(p["final_proj"], d1)
     dd = md0.shape[-1]
@@ -234,6 +243,7 @@ class LightGlue:
         input_dim: int = 256,
         filter_threshold: float = 0.1,
         precision: str = "default",
+        activation_dtype: str = "float32",
     ):
         self.n_layers = n_layers
         self.num_heads = num_heads
@@ -243,11 +253,17 @@ class LightGlue:
         # "default" = single-pass bf16 MXU matmuls; parity tests use
         # "highest" to match the torch f32 oracle
         self.precision = precision
+        # "bfloat16" halves the HBM traffic of the transformer trunk's
+        # activations (the forward is partly relayout/elementwise-bound
+        # at production batch sizes); layernorm statistics, the
+        # attention softmax, and the assignment head stay f32
+        self.activation_dtype = str(activation_dtype)
 
     def _key(self):
         return (type(self), self.n_layers, self.num_heads,
                 self.descriptor_dim, self.input_dim,
-                self.filter_threshold, self.precision)
+                self.filter_threshold, self.precision,
+                self.activation_dtype)
 
     def __hash__(self):
         return hash(self._key())
@@ -338,6 +354,12 @@ class LightGlue:
 
         enc0 = rotary_encoding(params["posenc"], kpts0)
         enc1 = rotary_encoding(params["posenc"], kpts1)
+
+        act = jnp.dtype(self.activation_dtype)
+        if act != jnp.float32:
+            d0, d1 = d0.astype(act), d1.astype(act)
+            enc0 = tuple(e.astype(act) for e in enc0)
+            enc1 = tuple(e.astype(act) for e in enc1)
 
         # lax.scan over stacked layers: 9x smaller HLO than an unrolled
         # loop (compile time matters — remote-TPU compiles are expensive)

@@ -138,3 +138,29 @@ def test_attention_pallas_interpret_matches_xla():
     # bf16's ~3 decimal digits on O(1) normal inputs
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_bfloat16_trunk_matches_f32():
+    """The bf16 activation trunk must agree with the f32 forward on
+    nearly every match decision (assignment head stays f32)."""
+    from icepy4d_tpu.models.lightglue import LightGlue
+
+    rng = np.random.default_rng(7)
+    B, N, D = 2, 256, 256
+    m32 = LightGlue(filter_threshold=0.0)
+    m16 = LightGlue(filter_threshold=0.0, activation_dtype="bfloat16")
+    p = m32.init(0)
+    k0 = rng.uniform(0, 1000, (B, N, 2)).astype(np.float32)
+    data = {
+        "kpts0": jnp.asarray(k0),
+        "kpts1": jnp.asarray(k0 + 8.0),
+        "desc0": jnp.asarray(rng.normal(size=(B, N, D)) / 16, jnp.float32),
+        "desc1": jnp.asarray(rng.normal(size=(B, N, D)) / 16, jnp.float32),
+        "mask0": jnp.ones((B, N), bool),
+        "mask1": jnp.ones((B, N), bool),
+        "size0": jnp.full((B, 2), 1000.0),
+        "size1": jnp.full((B, 2), 1000.0),
+    }
+    a32 = np.asarray(m32.match(p, data)["matches0"])
+    a16 = np.asarray(m16.match(p, data)["matches0"])
+    assert (a32 == a16).mean() > 0.95
