@@ -1097,6 +1097,13 @@ class NearestNeighborMatcher(ImageMatcherBase):
         return {"matches0": matches0, "mscores0": scores0}
 
 
+@jax.jit
+def _split_stacked_pair(feats: dict):
+    """Split a batch-2 feature dict into two batch-1 dicts, fused."""
+    return (jax.tree.map(lambda a: a[:1], feats),
+            jax.tree.map(lambda a: a[1:], feats))
+
+
 class SIFTMatcher(NearestNeighborMatcher):
     """TPU-native SIFT + Lowe-ratio nearest-neighbor matching.
 
@@ -1153,8 +1160,9 @@ class SIFTMatcher(NearestNeighborMatcher):
         k = max_keypoints or self._max_keypoints
         if img0.shape == img1.shape:
             feats = self._extract(jnp.stack([img0, img1]), k)
-            feats0 = jax.tree.map(lambda a: a[:1], feats)
-            feats1 = jax.tree.map(lambda a: a[1:], feats)
+            # ONE fused split program: eager per-leaf slicing cost 8
+            # remote op-compiles + 8 tunnel round trips per epoch
+            feats0, feats1 = _split_stacked_pair(feats)
         else:
             feats0 = self._extract(img0[None], k)
             feats1 = self._extract(img1[None], k)

@@ -182,8 +182,9 @@ class AbsoluteOrientation:
             T = self.tform
         M = np.asarray(T[:3, :3], np.float64)
         m = float(np.cbrt(np.linalg.det(M)))
-        ax, ay, az = (float(a) for a in tf.euler_from_matrix(
-            jnp.asarray(M / m, jnp.float32)))
+        from icepy4d_tpu.ops.geometry_np import euler_from_matrix
+
+        ax, ay, az = (float(a) for a in euler_from_matrix(M / m))
         return {
             "rx": ax, "ry": ay, "rz": az,
             "tx": float(T[0, 3]), "ty": float(T[1, 3]), "tz": float(T[2, 3]),

@@ -31,7 +31,6 @@ import numpy as np
 from icepy4d_tpu.core.camera import Camera
 from icepy4d_tpu.ops.ba import (BAProblem, BAResult, lm_solve,
                                 point_covariances)
-from icepy4d_tpu.ops.transforms import matrix_to_rodrigues, rodrigues_to_matrix
 
 
 @dataclass
@@ -67,14 +66,18 @@ class BAOutput:
 
 
 def _camera_to_theta(cam: Camera) -> np.ndarray:
+    from icepy4d_tpu.ops.geometry_np import matrix_to_rodrigues as np_m2r
+
     R = np.asarray(cam.R)
     t = np.asarray(cam.t).reshape(3)
-    rvec = np.asarray(matrix_to_rodrigues(jnp.asarray(R)))
+    rvec = np_m2r(R)
     return np.concatenate([rvec, t]).astype(np.float32)
 
 
 def _theta_to_extrinsics(theta: np.ndarray) -> np.ndarray:
-    R = np.asarray(rodrigues_to_matrix(jnp.asarray(theta[:3])))
+    from icepy4d_tpu.ops.geometry_np import rodrigues_to_matrix as np_r2m
+
+    R = np_r2m(theta[:3])
     E = np.eye(4, dtype=np.float32)
     E[:3, :3] = R
     E[:3, 3] = theta[3:6]
@@ -171,9 +174,10 @@ class BundleAdjustment:
         pt_prior = pt_prior - shift  # weights of 0 make unused rows moot
         cam_prior = cam_prior - shift
         # extrinsics: t' = t + R @ shift
+        from icepy4d_tpu.ops.geometry_np import rodrigues_to_matrix as np_r2m
+
         for ci in range(c):
-            R = np.asarray(
-                rodrigues_to_matrix(jnp.asarray(cam_theta[ci, :3])))
+            R = np_r2m(cam_theta[ci, :3])
             cam_theta[ci, 3:] = cam_theta[ci, 3:] + R @ shift
 
         # pow4 point-count bucket (ops/buckets.py): tie-point counts
@@ -242,12 +246,17 @@ class BundleAdjustment:
             prob, free_intr=free_intr, max_iters=cfg.max_iters,
             robust_delta=cfg.robust_delta)
 
+        from icepy4d_tpu.ops.geometry_np import (
+            distort_normalized as np_distort,
+            rodrigues_to_matrix as np_rodrigues,
+        )
+
         cam_theta = np.asarray(res.cam_theta)
         intr = np.asarray(res.intrinsics)
         cameras = {}
         for ci, name in enumerate(self.cam_names):
             th = cam_theta[ci].copy()
-            R = np.asarray(rodrigues_to_matrix(jnp.asarray(th[:3])))
+            R = np_rodrigues(th[:3])
             th[3:] = th[3:] - R @ shift  # undo re-centering
             K = np.array([[intr[ci, 0], 0, intr[ci, 2]],
                           [0, intr[ci, 1], intr[ci, 3]],
@@ -263,8 +272,9 @@ class BundleAdjustment:
         # objective when robust_delta is set, so it cannot be inverted
         # into an RMSE). Projected in the RE-CENTERED frame — UTM-scale
         # world coordinates would lose ~1 px to f32 cancellation.
-        from icepy4d_tpu.ops.geometry import distort_normalized
-
+        # Host numpy throughout: this runs after EVERY solve, and its
+        # eager device ops used to cost ~8 remote op-compiles plus
+        # per-epoch tunnel round trips (r5 compile probe).
         sq, n_obs = 0.0, 0
         pts_c = np.asarray(res.points)[:n_tie]
         obs_xy = np.asarray(prob.obs_xy)[:n_tie]
@@ -274,11 +284,10 @@ class BundleAdjustment:
             if not ok.any():
                 continue
             th = cam_theta[ci]  # still re-centered
-            R = np.asarray(rodrigues_to_matrix(jnp.asarray(th[:3])))
+            R = np_rodrigues(th[:3])
             Xc = pts_c[ok] @ R.T + th[3:6]
             xn = Xc[:, :2] / Xc[:, 2:]
-            xd = np.asarray(distort_normalized(jnp.asarray(xn),
-                                               jnp.asarray(intr[ci, 4:])))
+            xd = np_distort(xn, intr[ci, 4:12])  # N_INTR=12: 8 dist terms
             proj = xd * intr[ci, :2] + intr[ci, 2:4]
             r = proj - obs_xy[:, ci][ok]
             sq += float((r ** 2).sum())

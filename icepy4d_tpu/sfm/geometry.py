@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icepy4d_tpu.ops import geometry as geom
+from icepy4d_tpu.ops import geometry_np as geom_np
 from icepy4d_tpu.ops import ransac as ransac_ops
 
 Array = jax.Array
@@ -82,17 +83,21 @@ def estimate_pose(
 
 
 def project_points(points_3d, camera, image=None):
-    """World points -> pixels through a Camera (ref sfm/geometry.py:79-103)."""
-    pts = jnp.asarray(points_3d, jnp.float32).reshape(-1, 3)
-    return np.asarray(
-        geom.project_points(pts, camera.K, camera.extrinsics, camera.dist)
-    )
+    """World points -> pixels through a Camera (ref sfm/geometry.py:79-103).
+
+    Host numpy (ops/geometry_np.py): the per-epoch callers (trim-ladder
+    residuals, reprojection filters, residual CSVs) run at exact,
+    ever-changing shapes — on the device path each shape was a fresh
+    remote compile plus a tunnel round trip per call."""
+    pts = np.asarray(points_3d, np.float32).reshape(-1, 3)
+    return geom_np.project_points(pts, camera.K, camera.extrinsics,
+                                  camera.dist)
 
 
 def undistort_points(points_2d, camera):
     """Remove distortion, keeping K as projection (ref sfm/geometry.py:106-133)."""
-    pts = jnp.asarray(points_2d, jnp.float32).reshape(-1, 2)
-    return np.asarray(geom.undistort_points(pts, camera.K, camera.dist))
+    pts = np.asarray(points_2d, np.float32).reshape(-1, 2)
+    return geom_np.undistort_points(pts, camera.K, camera.dist)
 
 
 def fundamental_from_cameras(cam0, cam1) -> np.ndarray:

@@ -20,6 +20,26 @@ from icepy4d_tpu.ops import triangulation as tri
 logger = logging.getLogger("icepy4d_tpu")
 
 
+from functools import partial
+
+import jax
+
+
+@jax.jit
+def _undistort_and_triangulate(p0, p1, K0, d0, K1, d1, P0, P1, n):
+    """Fused undistort + iterative-LS triangulation + valid fraction.
+
+    `n` is a TRACED scalar (the true, unpadded count): the program
+    compiles once per pow4 bucket, not once per exact count."""
+    p0u = geom.undistort_points(jnp.asarray(p0), K0, d0)
+    p1u = geom.undistort_points(jnp.asarray(p1), K1, d1)
+    pts3d, status = tri.iterative_ls_triangulation(p0u, p1u, P0, P1)
+    real = jnp.arange(p0.shape[0]) < n
+    frac = (jnp.sum(status.astype(jnp.float32) * real)
+            / jnp.maximum(n, 1).astype(jnp.float32))
+    return pts3d, frac
+
+
 class Triangulate:
     def __init__(
         self,
@@ -58,21 +78,21 @@ class Triangulate:
         pad1 = np.zeros((cap, 2), np.float32)
         pad0[:n] = p0
         pad1[:n] = p1
-        pts0 = jnp.asarray(pad0)
-        pts1 = jnp.asarray(pad1)
-        pts0u = geom.undistort_points(pts0, cam0.K, cam0.dist)
-        pts1u = geom.undistort_points(pts1, cam1.K, cam1.dist)
 
         if approach == "iterative_LS_triangulation":
-            pts3d, status = tri.iterative_ls_triangulation(
-                pts0u, pts1u, cam0.P, cam1.P
-            )
-            logger.info(
-                "Point triangulation succeeded: %.3f",
-                float(jnp.mean(status[:n].astype(jnp.float32)))
-                if n else 0.0,
-            )
+            # ONE fused program for undistort x2 + triangulation +
+            # status fraction (r5 compile probe: the unfused chain was
+            # 5 remote dispatches — and 5 op compiles per shape bucket)
+            pts3d, frac = _undistort_and_triangulate(
+                pad0, pad1, cam0.K, cam0.dist, cam1.K, cam1.dist,
+                cam0.P, cam1.P, n)
+            logger.info("Point triangulation succeeded: %.3f",
+                        float(frac) if n else 0.0)
         elif approach == "linear_triangulation":
+            pts0u = geom.undistort_points(
+                jnp.asarray(pad0), cam0.K, cam0.dist)
+            pts1u = geom.undistort_points(
+                jnp.asarray(pad1), cam1.K, cam1.dist)
             pts3d = tri.linear_eigen_triangulation(pts0u, pts1u, cam0.P, cam1.P)
         else:
             raise ValueError(f"Unknown triangulation approach {approach!r}")

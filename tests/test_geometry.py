@@ -120,3 +120,54 @@ def test_reprojection_error_masked():
     _, rmse = geom.compute_reprojection_error(obs, proj, mask)
     # sqrt(mean([25, 0, 100])) with the masked point excluded
     np.testing.assert_allclose(float(rmse), np.sqrt(125.0 / 3.0), atol=1e-5)
+
+
+def test_numpy_geometry_mirrors_device_ops():
+    """ops/geometry_np.py must agree with the jit ops it mirrors."""
+    import numpy as np
+
+    from icepy4d_tpu.ops import geometry as g
+    from icepy4d_tpu.ops import geometry_np as gn
+
+    rng = np.random.default_rng(3)
+    K = np.array([[3000.0, 0.5, 2000.0], [0, 3010.0, 1500.0], [0, 0, 1]],
+                 np.float32)
+    dist = np.array([-0.1, 0.05, 1e-3, -2e-3, 0.01], np.float32)
+    ext = np.eye(4, dtype=np.float32)
+    ext[:3, 3] = [0.2, -0.1, 0.5]
+    pts3d = rng.uniform([-2, -2, 4], [2, 2, 12], (257, 3)).astype(np.float32)
+
+    dev = np.asarray(g.project_points(
+        jnp.asarray(pts3d), jnp.asarray(K), jnp.asarray(ext),
+        jnp.asarray(dist)))
+    host = gn.project_points(pts3d, K, ext, dist)
+    np.testing.assert_allclose(host, dev, atol=1e-2, rtol=1e-5)
+
+    pix = rng.uniform([100, 100], [3900, 2900], (129, 2)).astype(np.float32)
+    devu = np.asarray(g.undistort_points(
+        jnp.asarray(pix), jnp.asarray(K), jnp.asarray(dist)))
+    hostu = gn.undistort_points(pix, K, dist)
+    np.testing.assert_allclose(hostu, devu, atol=1e-2, rtol=1e-5)
+
+    from icepy4d_tpu.ops.transforms import rodrigues_to_matrix as dev_rod
+    rv = np.array([0.3, -0.2, 0.9], np.float32)
+    np.testing.assert_allclose(gn.rodrigues_to_matrix(rv),
+                               np.asarray(dev_rod(jnp.asarray(rv))),
+                               atol=1e-5)
+    np.testing.assert_allclose(gn.rodrigues_to_matrix([0.0, 0.0, 0.0]),
+                               np.eye(3), atol=1e-7)
+
+
+def test_numpy_euler_matches_device():
+    from icepy4d_tpu.ops import geometry_np as gn
+    from icepy4d_tpu.ops import transforms as tf
+
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        rv = rng.normal(size=3)
+        R = gn.rodrigues_to_matrix(rv)
+        host = gn.euler_from_matrix(R)
+        dev = tf.euler_from_matrix(jnp.asarray(R))
+        np.testing.assert_allclose(np.asarray(host),
+                                   np.asarray([np.asarray(d) for d in dev]),
+                                   atol=1e-5)
