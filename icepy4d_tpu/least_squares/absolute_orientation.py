@@ -56,10 +56,10 @@ def estimate_similarity_least_squares(
     x0c = x0 - c0
     x1c = x1 - c1
     if T0 is None:
+        from icepy4d_tpu.ops.geometry_np import similarity_from_points
+
         Tc0 = np.asarray(
-            tf.similarity_from_points(jnp.asarray(x0c, jnp.float32),
-                                      jnp.asarray(x1c, jnp.float32),
-                                      with_scale=True), np.float64)
+            similarity_from_points(x0c, x1c, with_scale=True), np.float64)
     else:
         T0 = np.asarray(T0, np.float64)
         Tc0 = np.eye(4)

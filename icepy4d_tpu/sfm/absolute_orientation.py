@@ -143,11 +143,10 @@ class AbsoluteOrientation:
     ) -> np.ndarray:
         """Umeyama SVD similarity v1 ≈ T v0 (ref :141-152)."""
         c0, c1, v0c, v1c = self._centered()
-        Tc = np.asarray(tf.similarity_from_points(
-            jnp.asarray(v0c, jnp.float32),
-            jnp.asarray(v1c, jnp.float32),
-            with_scale=estimate_scale,
-        ), np.float64)
+        from icepy4d_tpu.ops.geometry_np import similarity_from_points
+
+        Tc = np.asarray(similarity_from_points(
+            v0c, v1c, with_scale=estimate_scale), np.float64)
         self.tform = self._uncenter(Tc, c0, c1)
         return self.tform
 

@@ -171,3 +171,18 @@ def test_numpy_euler_matches_device():
         np.testing.assert_allclose(np.asarray(host),
                                    np.asarray([np.asarray(d) for d in dev]),
                                    atol=1e-5)
+
+
+def test_numpy_similarity_matches_device():
+    from icepy4d_tpu.ops import geometry_np as gn
+    from icepy4d_tpu.ops import transforms as tf
+
+    rng = np.random.default_rng(5)
+    v0 = rng.normal(size=(12, 3)).astype(np.float32)
+    R = gn.rodrigues_to_matrix([0.2, -0.4, 0.7])
+    v1 = 1.7 * v0 @ R.T + np.array([3.0, -1.0, 2.0], np.float32)
+    for ws in (True, False):
+        host = gn.similarity_from_points(v0, v1, with_scale=ws)
+        dev = np.asarray(tf.similarity_from_points(
+            jnp.asarray(v0), jnp.asarray(v1), with_scale=ws))
+        np.testing.assert_allclose(host, dev, atol=1e-4, rtol=1e-4)
