@@ -1222,10 +1222,13 @@ class SIFTMatcher(NearestNeighborMatcher):
         """Epipolar-guided second matching pass over the cached
         full-image features + fresh GV; overwrites the match results."""
         feats0, feats1 = self._cached
-        F = jnp.asarray(guide, jnp.float32)
+        # host numpy 3x3 math: eager device ops here cost a tunnel
+        # round trip per epoch (the jit boundary converts F anyway)
+        F = np.asarray(guide, np.float32)
         if scale != 1.0:
             # cached kpts live at the quality scale; F is in original px
-            S = jnp.diag(jnp.asarray([1.0 / scale, 1.0 / scale, 1.0]))
+            S = np.diag(np.asarray([1.0 / scale, 1.0 / scale, 1.0],
+                                   np.float32))
             F = S.T @ F @ S
         m0, conf = self._nn_epipolar(
             feats0["descriptors"], feats1["descriptors"],

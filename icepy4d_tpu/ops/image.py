@@ -24,10 +24,12 @@ import numpy as np
 Array = jax.Array
 
 # ITU-R BT.601 luma weights — matches cv2.cvtColor(..., COLOR_RGB2GRAY).
-_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+# Host numpy constants: module-level jnp.array ran eager device ops at
+# import (jit embeds numpy constants identically).
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
 
 # cv2.pyrDown/pyrUp 5-tap Gaussian kernel (1,4,6,4,1)/16.
-_GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+_GAUSS5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def rgb_to_gray(image: Array) -> Array:

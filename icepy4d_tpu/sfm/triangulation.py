@@ -73,7 +73,11 @@ class Triangulate:
         # counts — including across epochs (ops/buckets.py)
         from icepy4d_tpu.ops.buckets import pad_bucket
 
-        cap = pad_bucket(n, floor=8)
+        # floor 64 (not 8): aligns this program's bucket ladder with
+        # the season's other geometry programs (64, 256, 1024, 4096) so
+        # real tie-point counts land in ONE shared bucket instead of
+        # straddling the old 2048/8192 rungs across epochs
+        cap = pad_bucket(n, floor=64)
         pad0 = np.zeros((cap, 2), np.float32)
         pad1 = np.zeros((cap, 2), np.float32)
         pad0[:n] = p0
@@ -114,7 +118,11 @@ class Triangulate:
         us_np = [np.asarray(p, np.float32)[..., :2]
                  for p in self.image_points]
         n = us_np[0].shape[0]
-        cap = pad_bucket(n, floor=8)
+        # floor 64 (not 8): aligns this program's bucket ladder with
+        # the season's other geometry programs (64, 256, 1024, 4096) so
+        # real tie-point counts land in ONE shared bucket instead of
+        # straddling the old 2048/8192 rungs across epochs
+        cap = pad_bucket(n, floor=64)
         v = len(us_np)
         us = np.zeros((v, cap, 2), np.float32)
         for i, u in enumerate(us_np):
